@@ -1,0 +1,128 @@
+"""SimpleConvNet — the spring-mesh baseline backbone.
+
+Capability parity with ``src/models/simple_conv_net.py:12-131``: k stacked
+conv blocks (conv -> norm -> FiLM -> GELU -> dropout -> residual) with a 1x1
+head. NHWC; 1x1 head is a Dense (MXU matmul).
+
+Norm semantics: ``train`` controls BatchNorm running-stat updates only;
+``deterministic`` controls dropout only — mirroring the reference where
+MC-dropout flips Dropout modules to train mode while BatchNorm stays in eval
+(``utils.py:560-574``, ``freeze_model :553-557``).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dyffusion_tpu.models.modules import TimeEmbedder
+
+Array = jnp.ndarray
+
+
+def get_norm(name: str, dim: int, train: bool):
+    """Normalization factory (ref ``utils.py:175-198``)."""
+    name = (name or "none").lower()
+    if name == "none":
+        return lambda x: x
+    if name == "batch_norm":
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9, name=None)
+    if name == "layer_norm":
+        return nn.LayerNorm()
+    if "group" in name:
+        groups = max((dim // n for n in range(2, 17) if dim % n == 0), default=None)
+        if groups is None:
+            raise ValueError(f"group norm cannot infer groups for dim={dim}")
+        return nn.GroupNorm(num_groups=groups)
+    if "instance" in name:
+        # instance norm == group norm with one group per channel
+        return nn.GroupNorm(num_groups=dim)
+    raise ValueError(f"Unknown normalization: {name}")
+
+
+class ConvBlock(nn.Module):
+    """conv -> norm -> FiLM -> GELU -> dropout -> (+residual)
+    (ref ``simple_conv_net.py:12-55``)."""
+
+    dim_out: int
+    kernel_size: int = 3
+    net_normalization: str = "batch_norm"
+    residual: bool = True
+    dropout: float = 0.0
+    use_time_emb: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        time_emb: Optional[Array] = None,
+        deterministic: bool = True,
+        train: bool = False,
+    ) -> Array:
+        res = x
+        pad = (self.kernel_size - 1) // 2
+        h = nn.Conv(
+            self.dim_out,
+            (self.kernel_size, self.kernel_size),
+            padding=((pad, pad), (pad, pad)),
+            name="conv",
+        )(x)
+        norm = get_norm(self.net_normalization, self.dim_out, train)
+        h = norm(h)
+        if self.use_time_emb and time_emb is not None:
+            emb = nn.Dense(self.dim_out * 2, name="time_mlp")(nn.silu(time_emb))[:, None, None, :]
+            scale, shift = jnp.split(emb, 2, axis=-1)
+            h = h * (scale + 1.0) + shift
+        h = nn.gelu(h)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        if self.residual and res.shape[-1] == self.dim_out:
+            h = h + res
+        return h
+
+
+class SimpleConvNet(nn.Module):
+    """k conv blocks + 1x1 head (ref ``simple_conv_net.py:59-131``)."""
+
+    dim: int
+    num_input_channels: int
+    num_output_channels: int
+    num_conditional_channels: int = 0
+    with_time_emb: bool = False
+    net_normalization: str = "batch_norm"
+    kernel_sizes: Sequence[int] = (7, 3, 3)
+    residual: bool = True
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        time: Optional[Array] = None,
+        condition: Optional[Array] = None,
+        deterministic: bool = True,
+        train: bool = False,
+    ) -> Array:
+        if self.num_conditional_channels > 0:
+            assert condition is not None
+            x = jnp.concatenate([x, condition], axis=-1)  # inputs first (ref :120-121)
+        else:
+            assert condition is None
+
+        if self.with_time_emb:
+            t = TimeEmbedder(self.dim * 2, self.dim, name="time_emb")(time)
+        else:
+            t = None
+
+        for i, k in enumerate(self.kernel_sizes):
+            x = ConvBlock(
+                self.dim,
+                kernel_size=k,
+                net_normalization=self.net_normalization,
+                residual=self.residual,
+                dropout=self.dropout,
+                use_time_emb=self.with_time_emb,
+                name=f"conv{i}",
+            )(x, t, deterministic=deterministic, train=train)
+        return nn.Dense(self.num_output_channels, name="head")(x)

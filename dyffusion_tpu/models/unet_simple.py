@@ -1,0 +1,161 @@
+"""Simple encoder/decoder UNet — the Navier-Stokes backbone.
+
+Capability parity with ``src/models/unet_simple.py:13-197`` (the nn-benchmark
+UNet): a stride-2 conv encoder and bilinear-upsample decoder of 6+6 blocks with
+optional FiLM time conditioning, an outer bilinear resample to a fixed working
+resolution (default 256x256; ref ``:98-101, 192-195``) and back to the input
+grid at exit — this is how the awkward 221x42 NS grid becomes power-of-two
+friendly, which also suits TPU tiling.
+
+Encoder block: conv(k,s=2) -> norm -> FiLM -> LeakyReLU(0.2) -> dropout.
+Decoder block: bilinear x2 -> conv(k-1,s=1) -> norm -> FiLM -> ReLU -> dropout,
+with skip concats after each decoder block (ref ``_apply_ops :164-179``).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dyffusion_tpu.models.modules import TimeEmbedder
+
+Array = jnp.ndarray
+
+RELU_LEAK = 0.2
+
+
+class UNetBlock(nn.Module):
+    """One encoder or decoder block (ref ``unet_simple.py:13-82``)."""
+
+    dim_out: int
+    transposed: bool = False
+    bn: bool = True  # BatchNorm if True, else GroupNorm(8)
+    relu: bool = True  # plain ReLU if True, else LeakyReLU(0.2)
+    size: int = 4
+    pad: int = 1
+    dropout: float = 0.0
+    use_time_emb: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        time_emb: Optional[Array] = None,
+        deterministic: bool = True,
+        train: bool = False,
+    ) -> Array:
+        if not self.transposed:
+            x = nn.Conv(
+                self.dim_out,
+                (self.size, self.size),
+                strides=(2, 2),
+                padding=((self.pad, self.pad), (self.pad, self.pad)),
+                name="conv",
+            )(x)
+        else:
+            B, H, W, C = x.shape
+            x = jax.image.resize(x, (B, 2 * H, 2 * W, C), method="bilinear")
+            k = self.size - 1
+            x = nn.Conv(
+                self.dim_out,
+                (k, k),
+                strides=(1, 1),
+                padding=((self.pad, self.pad), (self.pad, self.pad)),
+                name="conv",
+            )(x)
+        if self.bn:
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="norm")(x)
+        else:
+            x = nn.GroupNorm(num_groups=8, name="norm")(x)
+        if self.use_time_emb and time_emb is not None:
+            emb = nn.Dense(self.dim_out * 2, name="time_mlp")(nn.silu(time_emb))[:, None, None, :]
+            scale, shift = jnp.split(emb, 2, axis=-1)
+            x = x * (scale + 1.0) + shift
+        x = nn.relu(x) if self.relu else nn.leaky_relu(x, RELU_LEAK)
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class UNetSimple(nn.Module):
+    """The simple UNet (ref ``unet_simple.py:85-197``)."""
+
+    dim: int
+    num_input_channels: int
+    num_output_channels: int
+    num_conditional_channels: int = 0
+    with_time_emb: bool = False
+    outer_sample_mode: str = "bilinear"
+    upsample_dims: Optional[Tuple[int, int]] = (256, 256)
+    dropout: float = 0.0
+    input_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        time: Optional[Array] = None,
+        condition: Optional[Array] = None,
+        deterministic: bool = True,
+        train: bool = False,
+    ) -> Array:
+        if self.num_conditional_channels > 0:
+            assert condition is not None
+            x = jnp.concatenate([x, condition], axis=-1)  # inputs first (ref :183-184)
+        else:
+            assert condition is None
+
+        t = TimeEmbedder(self.dim * 2, self.dim, name="time_emb")(time) if self.with_time_emb else None
+
+        orig_shape = x.shape[1:3]
+        if self.upsample_dims is not None:
+            x = jax.image.resize(
+                x, (x.shape[0], *self.upsample_dims, x.shape[-1]), method=self.outer_sample_mode
+            )
+
+        x = nn.Conv(self.dim, (1, 1), name="init_conv")(x)
+        if self.input_dropout > 0:
+            x = nn.Dropout(self.input_dropout)(x, deterministic=deterministic)
+
+        d = self.dim
+        bkw = dict(dropout=self.dropout, use_time_emb=self.with_time_emb)
+        enc_specs = [
+            dict(dim_out=d * 2, bn=True, relu=False, **bkw),
+            dict(dim_out=d * 2, bn=True, relu=False, **bkw),
+            dict(dim_out=d * 4, bn=True, relu=False, **bkw),
+            dict(dim_out=d * 8, bn=True, relu=False, size=4, **bkw),
+            dict(dim_out=d * 8, bn=True, relu=False, size=2, pad=0, **bkw),
+            dict(dim_out=d * 8, bn=False, relu=False, size=2, pad=0, **bkw),
+        ]
+        dec_specs = [
+            dict(dim_out=d * 8, bn=True, relu=True, size=2, pad=0, **bkw),
+            dict(dim_out=d * 8, bn=True, relu=True, size=2, pad=0, **bkw),
+            dict(dim_out=d * 4, bn=True, relu=True, **bkw),
+            dict(dim_out=d * 2, bn=True, relu=True, **bkw),
+            dict(dim_out=d * 2, bn=True, relu=True, **bkw),
+            dict(dim_out=d, bn=True, relu=True, **bkw),
+        ]
+
+        skips = []
+        for i, spec in enumerate(enc_specs):
+            x = UNetBlock(transposed=False, name=f"enc{i}", **spec)(x, t, deterministic, train)
+            skips.append(x)
+
+        x = skips.pop()
+        for i, spec in enumerate(dec_specs):
+            x = UNetBlock(transposed=True, name=f"dec{i}", **spec)(x, t, deterministic, train)
+            if skips:
+                x = jnp.concatenate([x, skips.pop()], axis=-1)
+
+        # readout: transpose-conv k4 s2 p1 == exact x2 upsample (ref ``:141-151``)
+        x = nn.ConvTranspose(
+            self.num_output_channels, (4, 4), strides=(2, 2), padding="SAME", name="readout"
+        )(x)
+
+        if self.upsample_dims is not None:
+            x = jax.image.resize(
+                x, (x.shape[0], *orig_shape, x.shape[-1]), method=self.outer_sample_mode
+            )
+        return x
