@@ -1,0 +1,234 @@
+"""Config system: experiment presets + dotted overrides.
+
+Capability parity with the reference's Hydra taxonomy (SURVEY.md §5.6): an
+experiment preset = dataset x method, composed from dataset and method layers,
+overridable from the CLI with ``key.subkey=value`` strings (the semantics of
+``python run.py experiment=navier_stokes_dyffusion diffusion.lambda_reconstruction=1``).
+
+No external config framework: plain nested dicts, deep-merged, with a parser
+for dotted overrides. Interpolated defaults (e.g. ``diffusion.timesteps:
+${datamodule.horizon}``) become explicit resolution in :func:`resolve`.
+"""
+from __future__ import annotations
+
+import ast
+import copy
+from typing import Any, Dict, List, Optional
+
+# ---------------------------------------------------------------------------
+# layers
+# ---------------------------------------------------------------------------
+
+_BASE: Dict[str, Any] = {
+    "seed": 7,
+    "registry_dir": "runs",
+    "experiment": None,  # 'interpolation' | 'dyffusion' | 'time_conditioned' | 'simultaneous'
+    "datamodule": {"name": "synthetic", "window": 1, "horizon": 8, "batch_size": 16},
+    "model": {"name": "unet_resnet", "dim": 32, "with_time_emb": True},
+    "diffusion": None,
+    "module": {
+        "num_predictions": 20,
+        "num_predictions_test": 50,
+        "prediction_inputs_noise": 0.0,
+        "enable_inference_dropout": True,
+        "loss_function": "mse",
+        "use_ema": True,
+        "ema_decay": 0.9999,
+        "optimizer": {"name": "adamw", "lr": 3e-4, "weight_decay": 1e-5},
+        "scheduler": None,
+        "monitor": None,
+    },
+    "trainer": {"max_epochs": 10, "gradient_clip_val": 1.0, "val_every_n_epochs": 1},
+}
+
+# dataset layers (ref configs/experiment/{spring_mesh,navier_stokes,oisst_pacific}.yaml)
+_DATASETS: Dict[str, Dict[str, Any]] = {
+    "synthetic": {
+        "datamodule": {"name": "synthetic", "horizon": 8, "window": 1, "batch_size": 16},
+        "model": {"name": "unet_resnet", "dim": 32, "dim_mults": [1, 2]},
+    },
+    "spring_mesh": {
+        "datamodule": {
+            "name": "physical-systems", "physical_system": "spring-mesh",
+            "batch_size": 64, "eval_batch_size": 16, "horizon": 134,
+            "prediction_horizon": 804, "window": 1,
+        },
+        "model": {"name": "cnn_simple", "dim": 128, "net_normalization": "batch_norm"},
+        "module": {"optimizer": {"name": "adamw", "lr": 4e-4, "weight_decay": 1e-4}},
+        "trainer": {"max_epochs": 300, "gradient_clip_val": 1.0},
+    },
+    "navier_stokes": {
+        "datamodule": {
+            "name": "physical-systems", "physical_system": "navier-stokes",
+            "batch_size": 32, "eval_batch_size": 4, "horizon": 16,
+            "prediction_horizon": 64, "window": 1,
+        },
+        "model": {
+            "name": "unet_simple", "dim": 64, "outer_sample_mode": "bilinear",
+            "upsample_dims": [256, 256], "dropout": 0.15,
+        },
+        "module": {"optimizer": {"name": "adamw", "lr": 3e-4, "weight_decay": 1e-4}},
+        "trainer": {"max_epochs": 200, "gradient_clip_val": 1.0},
+    },
+    "oisst_pacific": {
+        "datamodule": {
+            "name": "oisstv2", "batch_size": 64, "eval_batch_size": 6,
+            "horizon": 7, "prediction_horizon": 7, "window": 1,
+            "boxes": [84, 85, 86, 87, 88, 89, 108, 109, 110, 111, 112],
+        },
+        "model": {
+            "name": "unet_resnet", "dim": 64, "dim_mults": [1, 2, 4],
+            "block_dropout": 0.3, "block_dropout1": 0.0, "attn_dropout": 0.1,
+        },
+        "module": {"optimizer": {"name": "adamw", "lr": 1e-4, "weight_decay": 1e-5}},
+        "trainer": {"max_epochs": 50, "gradient_clip_val": 1.0},
+        "seed": 8,
+    },
+}
+
+# method layers (ref configs/experiment/*_{interpolation,dyffusion,...}.yaml)
+_METHODS: Dict[str, Dict[str, Any]] = {
+    "interpolation": {
+        "experiment": "interpolation",
+        "model": {"with_time_emb": True},
+    },
+    "dyffusion": {
+        "experiment": "dyffusion",
+        "model": {"with_time_emb": True},
+        "diffusion": {
+            "name": "dyffusion",
+            "interpolator_run_id": None,
+            "interpolator_use_ema": False,
+            "lambda_reconstruction": 0.5,
+            "lambda_reconstruction2": 0.5,
+            "forward_conditioning": "data",
+            "schedule": "before_t1_only",
+            "additional_interpolation_steps": 0,
+            "additional_interpolation_steps_factor": 0,
+            "interpolate_before_t1": True,
+            "time_encoding": "dynamics",
+            "enable_interpolator_dropout": True,
+            "sampling_type": "cold",
+            "sampling_schedule": None,
+            "refine_intermediate_predictions": False,
+            "use_cold_sampling_for_last_step": False,
+            "timesteps": "${datamodule.horizon}",
+        },
+    },
+    "time_conditioned": {
+        "experiment": "time_conditioned",
+        "model": {"with_time_emb": True},
+    },
+    "simultaneous": {
+        "experiment": "simultaneous",
+        "model": {"with_time_emb": False},
+    },
+    "ddpm": {
+        "experiment": "simultaneous",
+        "model": {"with_time_emb": True},
+        "diffusion": {
+            "name": "ddpm",
+            "timesteps": 1000,
+            "sampling_timesteps": None,
+            "objective": "pred_noise",
+            "beta_schedule": "cosine",
+            "ddim_sampling_eta": 1.0,
+        },
+    },
+}
+
+# dataset-x-method extra tweaks (ref e.g. oisst_pacific_dyffusion.yaml k=25)
+_COMBO: Dict[str, Dict[str, Any]] = {
+    "oisst_pacific_dyffusion": {
+        "diffusion": {"additional_interpolation_steps": 25},
+    },
+    "navier_stokes_dyffusion": {
+        "diffusion": {"refine_intermediate_predictions": True},
+    },
+}
+
+
+def deep_merge(base: Dict[str, Any], override: Dict[str, Any]) -> Dict[str, Any]:
+    out = copy.deepcopy(base)
+    for k, v in (override or {}).items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = deep_merge(out[k], v)
+        else:
+            out[k] = copy.deepcopy(v)
+    return out
+
+
+def list_presets() -> List[str]:
+    return sorted(f"{d}_{m}" for d in _DATASETS for m in _METHODS)
+
+
+def get_config(preset: Optional[str] = None, overrides: Optional[List[str]] = None) -> Dict[str, Any]:
+    """Compose base + dataset + method (+ combo) layers and apply dotted
+    overrides, then resolve interpolations."""
+    cfg = copy.deepcopy(_BASE)
+    if preset:
+        dataset = next((d for d in sorted(_DATASETS, key=len, reverse=True) if preset.startswith(d)), None)
+        if dataset is None:
+            raise ValueError(f"Unknown preset '{preset}'. Known: {list_presets()}")
+        method = preset[len(dataset) :].lstrip("_") or "interpolation"
+        if method not in _METHODS:
+            raise ValueError(f"Unknown method '{method}' in preset '{preset}'. Methods: {sorted(_METHODS)}")
+        cfg = deep_merge(cfg, _DATASETS[dataset])
+        cfg = deep_merge(cfg, _METHODS[method])
+        cfg = deep_merge(cfg, _COMBO.get(preset, {}))
+        cfg["preset"] = preset
+    for ov in overrides or []:
+        apply_override(cfg, ov)
+    return resolve(cfg)
+
+
+def apply_override(cfg: Dict[str, Any], override: str) -> None:
+    """Apply one 'a.b.c=value' override; values parsed as Python literals
+    when possible (hydra CLI semantics)."""
+    key, _, raw = override.partition("=")
+    if not _:
+        raise ValueError(f"override '{override}' must look like key=value")
+    try:
+        value = ast.literal_eval(raw)
+    except (ValueError, SyntaxError):
+        value = None if raw in ("null", "None") else raw
+    node = cfg
+    parts = key.strip().split(".")
+    for p in parts[:-1]:
+        if node.get(p) is None:
+            node[p] = {}
+        node = node[p]
+    node[parts[-1]] = value
+
+
+def resolve(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Resolve ``${a.b}`` interpolations and consistency rules
+    (the semantics of the reference's OmegaConf interpolation +
+    ``check_config_values``, ``config_utils.py:423-473``)."""
+
+    def lookup(path: str):
+        node: Any = cfg
+        for p in path.split("."):
+            node = node[p]
+        return node
+
+    def walk(node):
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        if isinstance(node, str) and node.startswith("${") and node.endswith("}"):
+            return lookup(node[2:-1])
+        return node
+
+    cfg = walk(cfg)
+    # rule: DYffusion timesteps == horizon (ref forecasting_multi_horizon.py:404)
+    diff = cfg.get("diffusion")
+    if diff and diff.get("name") == "dyffusion":
+        diff["timesteps"] = cfg["datamodule"]["horizon"]
+    # rule: module window/horizon mirror datamodule (ref check_config_values)
+    cfg.setdefault("module", {})
+    cfg["module"]["window"] = cfg["datamodule"].get("window", 1)
+    cfg["module"]["horizon"] = cfg["datamodule"]["horizon"]
+    cfg["module"]["prediction_horizon"] = cfg["datamodule"].get("prediction_horizon")
+    return cfg

@@ -285,11 +285,17 @@ class DyffusionEngine:
         interpolator_apply: ApplyFn,
         interpolator_horizon: Optional[int] = None,
         criterion: Optional[Callable] = None,
+        forecaster_train_apply: Optional[Callable] = None,
     ):
         from dyffusion_tpu.utils.loss import mse_loss
 
         self.cfg = config
         self.forecaster_apply = forecaster_apply
+        # train-mode apply returning (out, non-param-state updates); used for
+        # the first forecaster call of p_losses so BatchNorm running stats
+        # keep updating during stage-2 training (torch trains the forecaster
+        # module in train mode). Defaults to the inference apply.
+        self.forecaster_train_apply = forecaster_train_apply
         self.interpolator_apply = interpolator_apply
         self.criterion = criterion or mse_loss
         self.mapping = StepMapping.create(
@@ -457,10 +463,22 @@ class DyffusionEngine:
         nonzero = (t > 0).reshape((-1,) + (1,) * (condition.ndim - 1))
         x_t = jnp.where(nonzero, x_interpolated.astype(condition.dtype), condition)
 
-        # 2) forward loss
-        xt_last_pred = self.predict_x_last(
-            fc_params, condition, x_t, t, static_condition, dropout_rng=k_fc1, noise_rng=k_n1
-        )
+        # 2) forward loss (train-mode forecaster apply when provided, so
+        #    BatchNorm stats update)
+        updates = {}
+        if self.forecaster_train_apply is not None:
+            fcond = self._forward_condition(condition, t, k_n1)
+            if static_condition is not None:
+                fcond = static_condition if fcond is None else jnp.concatenate(
+                    [fcond, static_condition], axis=-1
+                )
+            xt_last_pred, updates = self.forecaster_train_apply(
+                fc_params, x_t, self._encode_time(t), fcond, k_fc1
+            )
+        else:
+            xt_last_pred = self.predict_x_last(
+                fc_params, condition, x_t, t, static_condition, dropout_rng=k_fc1, noise_rng=k_n1
+            )
         loss_forward = self.criterion(xt_last_pred, xt_last)
 
         # 3) one-step diffusion-emulation loss (λ2 term)
@@ -480,7 +498,10 @@ class DyffusionEngine:
             loss_forward2 = jnp.zeros((), loss_forward.dtype)
 
         loss = lam1 * loss_forward + lam2 * loss_forward2
-        return loss, {"loss": loss, "loss_forward": loss_forward, "loss_forward2": loss_forward2}
+        aux = {"loss": loss, "loss_forward": loss_forward, "loss_forward2": loss_forward2}
+        if updates:
+            aux["_model_state_updates"] = updates
+        return loss, aux
 
     def loss(
         self,

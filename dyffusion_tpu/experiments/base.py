@@ -1,0 +1,109 @@
+"""Experiment layer: algorithms as pure train/eval step builders.
+
+The reference's experiment types are stateful LightningModules
+(``src/experiment_types/_base_experiment.py:28-774``). Here an Experiment is a
+thin object that owns the backbone (and optional diffusion engine) and builds
+PURE functions:
+
+- ``loss_fn(variables, batch, rng) -> (loss, (metrics, model_state_updates))``
+  — jitted and differentiated by the trainer;
+- ``eval_fn(variables, batch, rng) -> {'t{i}_preds': (N,B,...), 't{i}_targets': ...}``
+  — the MC-dropout ensemble evaluation, vmapped over members (replacing the
+  (N*B)-tiling of ``get_ensemble_inputs``, ``_base_experiment.py:503-538``).
+
+Batch convention: dict with 'dynamics' (B, T, H, W, C) plus optional
+'condition' (B, H, W, Cc) and metadata arrays.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dyffusion_tpu.models.base import BackboneSpec
+
+Array = jnp.ndarray
+
+
+def stack_window(dynamics: Array, window: int) -> Array:
+    """(B, window, H, W, C) leading frames -> (B, H, W, window*C)
+    (the reference's channel-stacking, ``interpolation.py:136-140`` /
+    ``forecasting_multi_horizon.py:337-342``; NHWC: time folds into the last
+    axis with time-major ordering)."""
+    past = dynamics[:, :window]  # (B, w, H, W, C)
+    B, w, H, W, C = past.shape
+    return jnp.moveaxis(past, 1, -2).reshape(B, H, W, w * C)
+
+
+@dataclass
+class ExperimentConfig:
+    """Shared experiment hyperparameters
+    (ref ``configs/module/_base_experiment_config.yaml`` and
+    ``_base_experiment.py:28-96``)."""
+
+    window: int = 1
+    horizon: int = 1
+    prediction_horizon: Optional[int] = None
+    num_predictions: int = 20  # ensemble members (val)
+    num_predictions_test: int = 50
+    prediction_inputs_noise: float = 0.0
+    enable_inference_dropout: bool = True
+    loss_function: str = "mse"
+    use_ema: bool = True
+    ema_decay: float = 0.9999
+    optimizer: Dict[str, Any] = field(default_factory=lambda: {"name": "adamw", "lr": 3e-4})
+    scheduler: Optional[Dict[str, Any]] = None
+    monitor: Optional[str] = None
+
+
+class Experiment:
+    """Base experiment. Subclasses implement channel arithmetic, loss and eval."""
+
+    def __init__(self, cfg: ExperimentConfig, dims: Dict[str, Any]):
+        self.cfg = cfg
+        self.dims = dims  # {'input', 'output', 'conditional', 'spatial'}
+
+    # -- channel arithmetic (ref actual_num_{input,output}_channels) -------
+    def actual_num_input_channels(self) -> int:
+        return self.dims["input"]
+
+    def actual_num_output_channels(self) -> int:
+        return self.dims["output"]
+
+    def num_conditional_channels(self) -> int:
+        return self.dims.get("conditional", 0)
+
+    def backbone_spec(self, with_time_emb: bool = True) -> BackboneSpec:
+        return BackboneSpec(
+            num_input_channels=self.actual_num_input_channels(),
+            num_output_channels=self.actual_num_output_channels(),
+            num_conditional_channels=self.num_conditional_channels(),
+            spatial_shape=tuple(self.dims["spatial"]),
+            with_time_emb=with_time_emb,
+        )
+
+    @property
+    def default_monitor(self) -> str:
+        raise NotImplementedError
+
+    @property
+    def monitor(self) -> str:
+        # auto-switch to ensemble CRPS when ensembling, mirroring
+        # ``config_utils.py:188-195``
+        return self.cfg.monitor or self.default_monitor
+
+    # -- pure step builders -------------------------------------------------
+    def make_loss_fn(self) -> Callable:
+        raise NotImplementedError
+
+    def make_eval_fn(self, split: str = "val") -> Callable:
+        raise NotImplementedError
+
+    def num_members(self, split: str) -> int:
+        return self.cfg.num_predictions_test if split == "test" else self.cfg.num_predictions
+
+    @staticmethod
+    def static_condition(batch: Dict[str, Array]) -> Optional[Array]:
+        return batch.get("condition")

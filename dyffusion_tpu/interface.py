@@ -1,0 +1,307 @@
+"""Factories: config -> datamodule, backbone, experiment, engine, trainer.
+
+Capability parity with ``src/interface.py:23-203`` (hydra-instantiate module +
+datamodule, reload model from config+ckpt, resolve interpolator checkpoint)
+and ``_base_experiment.py:173-199`` (instantiate backbone, wrap in diffusion).
+The W&B-cloud checkpoint resolution becomes a local run-registry lookup.
+"""
+from __future__ import annotations
+
+import copy
+import os
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dyffusion_tpu.data import DataModule, SyntheticDataModule
+from dyffusion_tpu.diffusion.ddpm import GaussianDiffusionConfig, GaussianDiffusionEngine
+from dyffusion_tpu.diffusion.dyffusion import DyffusionConfig, DyffusionEngine
+from dyffusion_tpu.experiments import (
+    DyffusionForecastingExperiment,
+    ExperimentConfig,
+    InterpolationExperiment,
+    SimultaneousForecastingExperiment,
+    TimeConditionedForecastingExperiment,
+)
+from dyffusion_tpu.models import (
+    BackboneSpec,
+    SimpleConvNet,
+    UNetSimple,
+    Unet,
+    init_backbone,
+    make_apply_fn,
+    make_train_apply_fn,
+)
+from dyffusion_tpu.training.checkpoint import CheckpointManager, find_run_dir
+from dyffusion_tpu.training.optim import build_optimizer
+from dyffusion_tpu.training.state import TrainState
+from dyffusion_tpu.training.trainer import Trainer
+from dyffusion_tpu.utils.naming import get_run_id
+
+_MODEL_REGISTRY = {
+    "unet_resnet": Unet,
+    "unet_simple": UNetSimple,
+    "cnn_simple": SimpleConvNet,
+}
+
+
+def get_datamodule(config: Dict[str, Any]) -> DataModule:
+    """Instantiate the datamodule (ref ``interface.py:59-84``)."""
+    dm_cfg = dict(config["datamodule"])
+    name = dm_cfg.pop("name")
+    if name == "synthetic":
+        return SyntheticDataModule(**dm_cfg)
+    if name == "physical-systems":
+        from dyffusion_tpu.data.physical_systems import PhysicalSystemsDataModule
+
+        return PhysicalSystemsDataModule(**dm_cfg)
+    if name == "oisstv2":
+        from dyffusion_tpu.data.oisstv2 import OISSTv2DataModule
+
+        return OISSTv2DataModule(**dm_cfg)
+    raise ValueError(f"Unknown datamodule: {name}")
+
+
+def build_backbone(model_cfg: Dict[str, Any], spec: BackboneSpec):
+    """Construct the linen backbone from config + channel spec
+    (ref ``instantiate_model``, ``_base_experiment.py:173-188``)."""
+    cfg = dict(model_cfg)
+    name = cfg.pop("name")
+    cls = _MODEL_REGISTRY.get(name)
+    if cls is None:
+        raise ValueError(f"Unknown model '{name}'. Available: {sorted(_MODEL_REGISTRY)}")
+    fields = {f.name for f in cls.__dataclass_fields__.values()}  # type: ignore[attr-defined]
+    kwargs = {k: tuple(v) if isinstance(v, list) else v for k, v in cfg.items() if k in fields}
+    dropped = set(cfg) - set(kwargs)
+    if dropped:
+        import logging
+
+        logging.getLogger(__name__).debug("dropping model kwargs %s for %s", dropped, name)
+    return cls(
+        num_input_channels=spec.num_input_channels,
+        num_output_channels=spec.num_output_channels,
+        num_conditional_channels=spec.num_conditional_channels,
+        **kwargs,
+    )
+
+
+def _experiment_cfg(config: Dict[str, Any]) -> ExperimentConfig:
+    mod = dict(config.get("module", {}))
+    fields = set(ExperimentConfig.__dataclass_fields__)
+    return ExperimentConfig(**{k: v for k, v in mod.items() if k in fields})
+
+
+def load_interpolator_from_registry(
+    registry_dir: str, run_id: str, use_ema: bool = False
+) -> Tuple[Callable, Any, Dict[str, Any]]:
+    """Rebuild and freeze a stage-1 interpolator from a local run
+    (ref ``get_checkpoint_from_path_or_wandb``, ``interface.py:175-203`` and
+    ``dyffusion.py:461-478``). Returns (apply_fn, variables, stage1_config)."""
+    run_dir = find_run_dir(registry_dir, run_id)
+    ckpt = CheckpointManager(run_dir, monitor="val/crps")
+    s1_config = ckpt.load_config()
+    dm = get_datamodule(s1_config)
+    exp = InterpolationExperiment(_experiment_cfg(s1_config), dm.dims)
+    spec = exp.backbone_spec(with_time_emb=True)
+    model = build_backbone(s1_config["model"], spec)
+    # best-by-CRPS preferred (ref interpolator_wandb_ckpt_filename default
+    # "best-...crps.ckpt", configs/diffusion/dyffusion.yaml)
+    slot = "best" if ckpt.has("best") else "last"
+    restored = ckpt.restore(slot=slot)  # template-free
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint found in {run_dir}")
+    params = restored["ema_params"] if use_ema else restored["params"]
+    variables = {"params": params, **(restored.get("model_state") or {})}
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    # freeze == never differentiated/updated; the engine only reads it
+    return make_apply_fn(model), variables, s1_config
+
+
+def build_experiment(
+    config: Dict[str, Any],
+    datamodule: DataModule,
+    interpolator: Optional[Tuple[Callable, Any]] = None,
+):
+    """Build (experiment, model, variables, loss_fn, eval_fns, engine).
+
+    ``interpolator`` may pass (apply_fn, variables) directly (the reference's
+    Option-1 in-memory interpolator, ``configs/diffusion/dyffusion.yaml``);
+    otherwise it is loaded from the registry via
+    ``diffusion.interpolator_run_id``.
+    """
+    kind = config["experiment"]
+    exp_cfg = _experiment_cfg(config)
+    dims = datamodule.dims
+    rng = jax.random.key(config.get("seed", 0))
+    diff_cfg = config.get("diffusion") or {}
+
+    if kind == "interpolation":
+        exp = InterpolationExperiment(exp_cfg, dims)
+        spec = exp.backbone_spec(with_time_emb=True)
+        model = build_backbone(config["model"], spec)
+        variables = init_backbone(model, spec, rng)
+        has_bs = any(k != "params" for k in variables)
+        apply_fn = make_apply_fn(model)
+        train_apply = make_train_apply_fn(model, has_bs)
+        exp.model = model
+        loss_fn = exp.make_loss_fn(train_apply)
+        eval_fns = {s: exp.make_eval_fn(apply_fn, s) for s in ("val", "test", "predict")}
+        return exp, model, variables, loss_fn, eval_fns, None
+
+    if kind == "dyffusion":
+        if interpolator is None:
+            run_id = diff_cfg.get("interpolator_run_id")
+            assert run_id, "diffusion.interpolator_run_id (or an in-memory interpolator) is required"
+            ip_apply, ip_vars, _ = load_interpolator_from_registry(
+                config.get("registry_dir", "runs"), run_id,
+                use_ema=diff_cfg.get("interpolator_use_ema", False),
+            )
+        else:
+            ip_apply, ip_vars = interpolator
+
+        exp = DyffusionForecastingExperiment(exp_cfg, dims)
+        spec = exp.backbone_spec(with_time_emb=True)
+        model = build_backbone(config["model"], spec)
+        variables = init_backbone(model, spec, rng)
+        has_bs = any(k != "params" for k in variables)
+        fc_apply = make_apply_fn(model)
+        fc_train_apply = make_train_apply_fn(model, has_bs) if has_bs else None
+
+        dyff_fields = set(DyffusionConfig.__dataclass_fields__)
+        eng_cfg = DyffusionConfig(
+            num_input_channels=dims["input"],
+            **{k: (tuple(v) if isinstance(v, list) else v) for k, v in diff_cfg.items() if k in dyff_fields and k != "num_input_channels"},
+        )
+        engine = DyffusionEngine(
+            eng_cfg,
+            forecaster_apply=fc_apply,
+            interpolator_apply=ip_apply,
+            interpolator_horizon=exp_cfg.horizon,
+            forecaster_train_apply=fc_train_apply,
+        )
+        exp.model = model
+        exp.engine = engine
+        exp.interpolator_params = ip_vars
+        loss_fn = exp.make_loss_fn()
+        ar = bool(exp_cfg.prediction_horizon and exp_cfg.prediction_horizon > exp_cfg.horizon)
+        eval_fns = {
+            "val": exp.make_eval_fn(split="val"),
+            "test": exp.make_eval_fn(split="test", autoregressive=ar),
+            "predict": exp.make_eval_fn(split="predict", autoregressive=ar),
+        }
+        return exp, model, variables, loss_fn, eval_fns, engine
+
+    if kind == "time_conditioned":
+        exp = TimeConditionedForecastingExperiment(exp_cfg, dims)
+        spec = exp.backbone_spec(with_time_emb=True)
+        model = build_backbone(config["model"], spec)
+        variables = init_backbone(model, spec, rng)
+        has_bs = any(k != "params" for k in variables)
+        apply_fn = make_apply_fn(model)
+        train_apply = make_train_apply_fn(model, has_bs)
+        exp.model = model
+        loss_fn = exp.make_loss_fn(train_apply)
+        ar = bool(exp_cfg.prediction_horizon and exp_cfg.prediction_horizon > exp_cfg.horizon)
+        eval_fns = {
+            "val": exp.make_eval_fn(apply_fn, "val"),
+            "test": exp.make_eval_fn(apply_fn, "test", autoregressive=ar),
+            "predict": exp.make_eval_fn(apply_fn, "predict", autoregressive=ar),
+        }
+        return exp, model, variables, loss_fn, eval_fns, None
+
+    if kind == "simultaneous":
+        is_diffusion = diff_cfg.get("name") == "ddpm"
+        exp = SimultaneousForecastingExperiment(exp_cfg, dims)
+        engine = None
+        if is_diffusion:
+            # channel arithmetic must see the (future) engine's presence
+            exp.diffusion_engine = True
+        spec = exp.backbone_spec(with_time_emb=is_diffusion or config["model"].get("with_time_emb", False))
+        model = build_backbone(config["model"], spec)
+        variables = init_backbone(model, spec, rng)
+        has_bs = any(k != "params" for k in variables)
+        apply_fn = make_apply_fn(model)
+        train_apply = make_train_apply_fn(model, has_bs)
+        if is_diffusion:
+            H, W = dims["spatial"]
+            g_fields = set(GaussianDiffusionConfig.__dataclass_fields__)
+            g_cfg = GaussianDiffusionConfig(
+                **{k: v for k, v in diff_cfg.items() if k in g_fields}
+            )
+            engine = GaussianDiffusionEngine(
+                g_cfg, denoiser_apply=apply_fn,
+                sample_shape=(H, W, dims["output"] * exp_cfg.horizon),
+            )
+            exp.diffusion_engine = engine
+        exp.model = model
+        loss_fn = exp.make_loss_fn(train_apply)
+        ar = bool(exp_cfg.prediction_horizon and exp_cfg.prediction_horizon > exp_cfg.horizon)
+        eval_fns = {
+            "val": exp.make_eval_fn(apply_fn, "val"),
+            "test": exp.make_eval_fn(apply_fn, "test", autoregressive=ar),
+            "predict": exp.make_eval_fn(apply_fn, "predict", autoregressive=ar),
+        }
+        return exp, model, variables, loss_fn, eval_fns, engine
+
+    raise ValueError(f"Unknown experiment type: {kind}")
+
+
+def create_train_state(config: Dict[str, Any], variables: Dict[str, Any]) -> TrainState:
+    mod = config.get("module", {})
+    opt = dict(mod.get("optimizer", {"name": "adamw", "lr": 3e-4}))
+    tx = build_optimizer(
+        name=opt.pop("name", "adamw"),
+        gradient_clip_val=config.get("trainer", {}).get("gradient_clip_val"),
+        scheduler=mod.get("scheduler"),
+        **opt,
+    )
+    params = variables["params"]
+    model_state = {k: v for k, v in variables.items() if k != "params"}
+    return TrainState.create(
+        params=params,
+        tx=tx,
+        rng=jax.random.key(config.get("seed", 0) + 1),
+        model_state=model_state,
+        use_ema=mod.get("use_ema", True),
+        ema_decay=mod.get("ema_decay", 0.9999),
+    )
+
+
+def run_experiment(
+    config: Dict[str, Any],
+    datamodule: Optional[DataModule] = None,
+    interpolator: Optional[Tuple[Callable, Any]] = None,
+    resume: bool = True,
+) -> Tuple[Trainer, float]:
+    """Full training driver (ref ``run_model``, ``src/train.py:18-127``):
+    seed, resume detection, model+data instantiation, fit, return best score."""
+    datamodule = datamodule or get_datamodule(config)
+    datamodule.setup()
+    exp, model, variables, loss_fn, eval_fns, engine = build_experiment(
+        config, datamodule, interpolator=interpolator
+    )
+    state = create_train_state(config, variables)
+    run_id = config.get("run_id") or get_run_id(config)
+    run_dir = os.path.join(config.get("registry_dir", "runs"), run_id)
+    tr_cfg = config.get("trainer", {})
+    trainer = Trainer(
+        experiment=exp,
+        datamodule=datamodule,
+        state=state,
+        loss_fn=loss_fn,
+        eval_fns=eval_fns,
+        run_dir=run_dir,
+        max_epochs=tr_cfg.get("max_epochs", 10),
+        max_steps=tr_cfg.get("max_steps"),
+        seed=config.get("seed", 0),
+        monitor=config.get("module", {}).get("monitor") or exp.monitor,
+        val_every_n_epochs=tr_cfg.get("val_every_n_epochs", 1),
+        save_checkpoints=tr_cfg.get("save_checkpoints", True),
+    )
+    if trainer.ckpt is not None:
+        trainer.ckpt.save_config(config)
+    if resume:
+        trainer.maybe_resume()
+    best = trainer.fit()
+    return trainer, best

@@ -103,4 +103,10 @@ def init_backbone(model: nn.Module, spec: BackboneSpec, rng: jax.Array, batch: i
         if spec.num_conditional_channels > 0
         else None
     )
-    return model.init({"params": rng}, x, time=t, condition=cond, deterministic=True)
+    # jit the init: eager init dispatches hundreds of tiny initializer ops
+    # one-by-one (painfully slow over a remote-TPU tunnel); jitted it is one
+    # compiled program.
+    init = jax.jit(
+        lambda r: model.init({"params": r}, x, time=t, condition=cond, deterministic=True)
+    )
+    return init(rng)

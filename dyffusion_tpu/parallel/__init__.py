@@ -1,0 +1,7 @@
+from dyffusion_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_train_state,
+)

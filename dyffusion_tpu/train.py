@@ -1,0 +1,43 @@
+"""CLI entry point.
+
+Capability parity with the reference's ``run.py`` + ``src/train.py``:
+
+    python -m dyffusion_tpu.train experiment=synthetic_interpolation \
+        trainer.max_epochs=3 datamodule.horizon=8
+
+Any ``key.subkey=value`` override is accepted; ``experiment=<preset>`` picks a
+dataset-x-method preset (see ``dyffusion_tpu.config.list_presets``). Prints
+the metric history and returns the best monitored score (ref
+``run_model -> float``, ``src/train.py:18``).
+"""
+from __future__ import annotations
+
+import json
+import sys
+from typing import List, Optional
+
+from dyffusion_tpu.config import get_config, list_presets
+from dyffusion_tpu.interface import run_experiment
+
+
+def main(argv: Optional[List[str]] = None) -> float:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    preset = None
+    overrides = []
+    for arg in argv:
+        if arg.startswith("experiment="):
+            preset = arg.split("=", 1)[1]
+        elif arg in ("--help", "-h"):
+            print(__doc__)
+            print("presets:", ", ".join(list_presets()))
+            return 0.0
+        else:
+            overrides.append(arg)
+    config = get_config(preset, overrides)
+    trainer, best = run_experiment(config)
+    print(json.dumps({"best": best, "monitor": trainer.monitor, "run_dir": trainer.ckpt.run_dir if trainer.ckpt else None}))
+    return best
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""Checkpointing and the local run registry.
+
+Capability parity with the reference's three cooperating mechanisms
+(SURVEY.md §5.4; ``configs/callbacks/default.yaml``, ``wandb_callbacks.py:153-189``,
+``train.py:44-69``): best-by-monitor + last checkpoints in a per-run directory,
+metadata embedded alongside, and reload of (state, config) by run directory —
+the local-registry replacement for W&B cloud restore.
+
+Uses orbax for the array state and a JSON sidecar for config/metadata.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _tree_to_saveable(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+class CheckpointManager:
+    """Per-run checkpoint directory with 'last' and 'best' slots
+    (ref ``ModelCheckpoint`` top-1-by-monitor + last; per-run subdir
+    ``config_utils.py:450-458``)."""
+
+    def __init__(self, run_dir: str, monitor: str, mode: str = "min"):
+        self.run_dir = os.path.abspath(run_dir)
+        os.makedirs(self.run_dir, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        self.best_score: Optional[float] = None
+        # PyTreeCheckpointer: supports template-free restore, which the
+        # stage-1 -> stage-2 interpolator handoff relies on
+        self._ckpt = ocp.PyTreeCheckpointer()
+        # reload best score if resuming
+        meta = self._read_meta()
+        if meta and meta.get("best_score") is not None:
+            self.best_score = meta["best_score"]
+
+    def _slot_dir(self, slot: str) -> str:
+        return os.path.join(self.run_dir, slot)
+
+    def _read_meta(self) -> Dict[str, Any]:
+        path = os.path.join(self.run_dir, "meta.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        return {}
+
+    def _write_meta(self, **updates) -> None:
+        meta = self._read_meta()
+        meta.update(updates)
+        with open(os.path.join(self.run_dir, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+
+    def save_config(self, config: Dict[str, Any]) -> None:
+        """Persist the full run config (the local analogue of uploading
+        hydra_config.yaml to the cloud, ``config_utils.py:588-608``)."""
+        with open(os.path.join(self.run_dir, "config.json"), "w") as f:
+            json.dump(config, f, indent=2, default=str)
+
+    def load_config(self) -> Dict[str, Any]:
+        with open(os.path.join(self.run_dir, "config.json")) as f:
+            return json.load(f)
+
+    def _save_slot(self, slot: str, state_tree) -> None:
+        path = self._slot_dir(slot)
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        self._ckpt.save(tmp, _tree_to_saveable(state_tree))  # synchronous save
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+
+    def save_last(self, state_tree, step: int) -> None:
+        self._save_slot("last", state_tree)
+        self._write_meta(last_step=step)
+
+    def is_improvement(self, score: float) -> bool:
+        if self.best_score is None or np.isnan(self.best_score):
+            return True
+        return score < self.best_score if self.mode == "min" else score > self.best_score
+
+    def save_best_if_improved(self, state_tree, score: float, step: int) -> bool:
+        if not np.isfinite(score) or not self.is_improvement(score):
+            return False
+        self.best_score = float(score)
+        self._save_slot("best", state_tree)
+        self._write_meta(best_score=self.best_score, best_monitor=self.monitor, best_step=step)
+        return True
+
+    def restore(self, state_tree_template=None, slot: str = "last"):
+        """Restore a checkpoint; with a template the result matches its
+        structure, without one the raw stored tree is returned."""
+        path = self._slot_dir(slot)
+        if not os.path.exists(path):
+            return None
+        if state_tree_template is None:
+            return self._ckpt.restore(path)
+        return self._ckpt.restore(path, _tree_to_saveable(state_tree_template))
+
+    def has(self, slot: str) -> bool:
+        return os.path.exists(self._slot_dir(slot))
+
+
+def find_run_dir(registry_dir: str, run_id: str) -> str:
+    """Resolve a run id to its directory in the local registry
+    (replaces W&B run-id resolution, ``wandb_api.py:328-381``)."""
+    path = os.path.join(os.path.abspath(registry_dir), run_id)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"run '{run_id}' not found under {registry_dir}")
+    return path

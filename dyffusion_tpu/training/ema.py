@@ -18,8 +18,10 @@ Params = Any
 
 
 def init_ema(params: Params) -> Params:
-    """Shadow copy of the trainable params (ref ``ema.py:18-23``)."""
-    return jax.tree_util.tree_map(jnp.asarray, params)
+    """Shadow copy of the trainable params (ref ``ema.py:18-23``).
+    Must be a genuine copy: the train step donates the whole state, and
+    aliased param/EMA buffers would be donated twice."""
+    return jax.tree_util.tree_map(jnp.copy, params)
 
 
 def ema_update(
