@@ -37,10 +37,22 @@ Array = jnp.ndarray
 class ForecastingExperiment(Experiment):
     """Shared multi-horizon machinery (ref ``AbstractMultiHorizonForecastingExperiment``)."""
 
-    def __init__(self, cfg, dims, model=None):
+    def __init__(self, cfg, dims, model=None, boundary_fn=None):
         super().__init__(cfg, dims)
         self.model = model
         self.criterion = get_loss_fn(cfg.loss_function)
+        # datamodule hook re-imposing physics boundary conditions on
+        # predictions (ref ``_evaluation_step :175-182``); jittable:
+        # (preds, metadata, time) -> preds
+        self.boundary_fn = boundary_fn
+
+    def apply_boundary(self, preds: Array, batch: Dict[str, Array], total_horizon: float) -> Array:
+        if self.boundary_fn is None:
+            return preds
+        t0 = batch.get("metadata_t0")
+        dt = batch.get("metadata_dt")
+        time = None if t0 is None else t0 + (dt if dt is not None else 1.0) * total_horizon
+        return self.boundary_fn(preds, metadata=batch, time=time)
 
     @property
     def horizon_range(self):
@@ -60,6 +72,23 @@ class ForecastingExperiment(Experiment):
             return "val/crps"
         return "val/avg/mse"
 
+    def record_window(self, out: Dict[str, Array], preds: Array, batch: Dict[str, Array], ar: int, dynamics: Array) -> Array:
+        """Record one sampling window's per-t predictions (with boundary
+        conditions applied) and targets into ``out``; returns the
+        boundary-adjusted (N, B, h, ...) predictions (the reference also
+        chains AR windows from the adjusted predictions, ``:175-197``)."""
+        h, w = self.cfg.horizon, self.cfg.window
+        adjusted = []
+        for i in self.horizon_range:
+            total = ar * h + i
+            p = self.apply_boundary(preds[:, :, i - 1], batch, float(total))
+            adjusted.append(p)
+            out[f"t{total}_preds"] = p
+            t_idx = w + total - 1
+            if t_idx < dynamics.shape[1]:
+                out[f"t{total}_targets"] = dynamics[:, t_idx]
+        return jnp.stack(adjusted, axis=2)
+
     def next_window_inputs(self, preds: Array) -> Array:
         """Last `window` integer-step predictions -> next stacked inputs
         (ref ``:194-221``). preds: (..., h, H, W, C) -> (..., H, W, w*C)."""
@@ -72,8 +101,8 @@ class ForecastingExperiment(Experiment):
 class DyffusionForecastingExperiment(ForecastingExperiment):
     """Stage-2 DYffusion training + sampling (ref ``:398-424``)."""
 
-    def __init__(self, cfg, dims, model=None, engine=None, interpolator_params=None):
-        super().__init__(cfg, dims, model)
+    def __init__(self, cfg, dims, model=None, engine=None, interpolator_params=None, boundary_fn=None):
+        super().__init__(cfg, dims, model, boundary_fn=boundary_fn)
         self.engine = engine  # DyffusionEngine over forecaster+interpolator applies
         self.interpolator_params = interpolator_params  # frozen variables
 
@@ -136,9 +165,7 @@ class DyffusionForecastingExperiment(ForecastingExperiment):
                 return engine.sample(variables, self.interpolator_params, key, cond, static_cond)
 
             preds = jax.vmap(first_window)(member_keys)  # (N, B, h, H, W, C)
-            for i in self.horizon_range:
-                out[f"t{i}_preds"] = preds[:, :, i - 1]
-                out[f"t{i}_targets"] = dynamics[:, w + i - 1]
+            preds = self.record_window(out, preds, batch, 0, dynamics)
 
             # autoregressive continuation: each member continues its own
             # trajectory (ref :163 ``num_predictions=1`` after first window)
@@ -148,12 +175,7 @@ class DyffusionForecastingExperiment(ForecastingExperiment):
                 preds = jax.vmap(lambda k, c: engine.sample(
                     variables, self.interpolator_params, k, c, static_cond
                 ))(member_keys, ar_inputs)
-                for i in self.horizon_range:
-                    total = ar * h + i
-                    out[f"t{total}_preds"] = preds[:, :, i - 1]
-                    t_idx = w + total - 1
-                    if t_idx < dynamics.shape[1]:
-                        out[f"t{total}_targets"] = dynamics[:, t_idx]
+                preds = self.record_window(out, preds, batch, ar, dynamics)
             return out
 
         return eval_fn
@@ -212,19 +234,12 @@ class TimeConditionedForecastingExperiment(ForecastingExperiment):
             member_keys = jax.random.split(rng, n_members)
             preds = jax.vmap(lambda k: window_preds(k, inputs0))(member_keys)  # (N, B, h, ...)
             out = {}
-            for i in self.horizon_range:
-                out[f"t{i}_preds"] = preds[:, :, i - 1]
-                out[f"t{i}_targets"] = dynamics[:, w + i - 1]
+            preds = self.record_window(out, preds, batch, 0, dynamics)
             for ar in range(1, n_windows):
                 ar_inputs = self.next_window_inputs(preds)
                 member_keys = jax.vmap(lambda k: jax.random.fold_in(k, ar))(member_keys)
                 preds = jax.vmap(window_preds)(member_keys, ar_inputs)
-                for i in self.horizon_range:
-                    total = ar * h + i
-                    out[f"t{total}_preds"] = preds[:, :, i - 1]
-                    t_idx = w + total - 1
-                    if t_idx < dynamics.shape[1]:
-                        out[f"t{total}_targets"] = dynamics[:, t_idx]
+                preds = self.record_window(out, preds, batch, ar, dynamics)
             return out
 
         return eval_fn
@@ -235,8 +250,8 @@ class SimultaneousForecastingExperiment(ForecastingExperiment):
     With ``diffusion_engine`` set, hosts the DDPM/MCVD-style baselines whose
     sampler produces the full stacked-horizon tensor at once."""
 
-    def __init__(self, cfg, dims, model=None, diffusion_engine=None):
-        super().__init__(cfg, dims, model)
+    def __init__(self, cfg, dims, model=None, diffusion_engine=None, boundary_fn=None):
+        super().__init__(cfg, dims, model, boundary_fn=boundary_fn)
         self.diffusion_engine = diffusion_engine
 
     def actual_num_input_channels(self) -> int:
@@ -314,19 +329,12 @@ class SimultaneousForecastingExperiment(ForecastingExperiment):
             member_keys = jax.random.split(rng, n_members)
             preds = jax.vmap(lambda k: window_preds(k, inputs0))(member_keys)
             out = {}
-            for i in self.horizon_range:
-                out[f"t{i}_preds"] = preds[:, :, i - 1]
-                out[f"t{i}_targets"] = dynamics[:, w + i - 1]
+            preds = self.record_window(out, preds, batch, 0, dynamics)
             for ar in range(1, n_windows):
                 ar_inputs = self.next_window_inputs(preds)
                 member_keys = jax.vmap(lambda k: jax.random.fold_in(k, ar))(member_keys)
                 preds = jax.vmap(window_preds)(member_keys, ar_inputs)
-                for i in self.horizon_range:
-                    total = ar * h + i
-                    out[f"t{total}_preds"] = preds[:, :, i - 1]
-                    t_idx = w + total - 1
-                    if t_idx < dynamics.shape[1]:
-                        out[f"t{total}_targets"] = dynamics[:, t_idx]
+                preds = self.record_window(out, preds, batch, ar, dynamics)
             return out
 
         return eval_fn

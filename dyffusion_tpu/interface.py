@@ -135,6 +135,13 @@ def build_experiment(
     dims = datamodule.dims
     rng = jax.random.key(config.get("seed", 0))
     diff_cfg = config.get("diffusion") or {}
+    # physics boundary-condition hook, if the datamodule overrides the no-op
+    # default (ref ``abstract_datamodule.py:164-175``)
+    boundary_fn = (
+        datamodule.boundary_conditions
+        if type(datamodule).boundary_conditions is not DataModule.boundary_conditions
+        else None
+    )
 
     if kind == "interpolation":
         exp = InterpolationExperiment(exp_cfg, dims)
@@ -160,7 +167,7 @@ def build_experiment(
         else:
             ip_apply, ip_vars = interpolator
 
-        exp = DyffusionForecastingExperiment(exp_cfg, dims)
+        exp = DyffusionForecastingExperiment(exp_cfg, dims, boundary_fn=boundary_fn)
         spec = exp.backbone_spec(with_time_emb=True)
         model = build_backbone(config["model"], spec)
         variables = init_backbone(model, spec, rng)
@@ -193,7 +200,7 @@ def build_experiment(
         return exp, model, variables, loss_fn, eval_fns, engine
 
     if kind == "time_conditioned":
-        exp = TimeConditionedForecastingExperiment(exp_cfg, dims)
+        exp = TimeConditionedForecastingExperiment(exp_cfg, dims, boundary_fn=boundary_fn)
         spec = exp.backbone_spec(with_time_emb=True)
         model = build_backbone(config["model"], spec)
         variables = init_backbone(model, spec, rng)
@@ -212,7 +219,7 @@ def build_experiment(
 
     if kind == "simultaneous":
         is_diffusion = diff_cfg.get("name") == "ddpm"
-        exp = SimultaneousForecastingExperiment(exp_cfg, dims)
+        exp = SimultaneousForecastingExperiment(exp_cfg, dims, boundary_fn=boundary_fn)
         engine = None
         if is_diffusion:
             # channel arithmetic must see the (future) engine's presence
