@@ -135,6 +135,25 @@ _METHODS: Dict[str, Dict[str, Any]] = {
             "ddim_sampling_eta": 1.0,
         },
     },
+    # MCVD video-diffusion baseline (ref configs/diffusion/ddpm_mcvd.yaml +
+    # experiment/*_mcvd.yaml — keeps the dataset backbone; model.name=ncsnpp
+    # selects the NCSN++ score network)
+    "mcvd": {
+        "experiment": "simultaneous",
+        "model": {"with_time_emb": True},
+        "diffusion": {
+            "name": "mcvd",
+            "version": "DDPM",
+            "timesteps": 1000,
+            "beta_schedule": "linear",
+            "sigma_begin": 0.02,
+            "sigma_end": 0.0001,
+            "gamma": False,
+            "noise_in_cond": False,
+            "sampling_denoise": True,
+            "sampling_timesteps": 100,
+        },
+    },
 }
 
 # dataset-x-method extra tweaks (ref e.g. oisst_pacific_dyffusion.yaml k=25)

@@ -39,10 +39,13 @@ from dyffusion_tpu.training.state import TrainState
 from dyffusion_tpu.training.trainer import Trainer
 from dyffusion_tpu.utils.naming import get_run_id
 
+from dyffusion_tpu.models.ncsnpp import NCSNpp  # noqa: E402
+
 _MODEL_REGISTRY = {
     "unet_resnet": Unet,
     "unet_simple": UNetSimple,
     "cnn_simple": SimpleConvNet,
+    "ncsnpp": NCSNpp,
 }
 
 
@@ -73,6 +76,8 @@ def build_backbone(model_cfg: Dict[str, Any], spec: BackboneSpec):
         raise ValueError(f"Unknown model '{name}'. Available: {sorted(_MODEL_REGISTRY)}")
     fields = {f.name for f in cls.__dataclass_fields__.values()}  # type: ignore[attr-defined]
     kwargs = {k: tuple(v) if isinstance(v, list) else v for k, v in cfg.items() if k in fields}
+    if "spatial_height" in fields and "spatial_height" not in kwargs:
+        kwargs["spatial_height"] = spec.spatial_shape[0]  # NCSNpp resolution ladder
     dropped = set(cfg) - set(kwargs)
     if dropped:
         import logging
@@ -218,7 +223,8 @@ def build_experiment(
         return exp, model, variables, loss_fn, eval_fns, None
 
     if kind == "simultaneous":
-        is_diffusion = diff_cfg.get("name") == "ddpm"
+        diff_name = diff_cfg.get("name")
+        is_diffusion = diff_name in ("ddpm", "mcvd")
         exp = SimultaneousForecastingExperiment(exp_cfg, dims, boundary_fn=boundary_fn)
         engine = None
         if is_diffusion:
@@ -232,14 +238,19 @@ def build_experiment(
         train_apply = make_train_apply_fn(model, has_bs)
         if is_diffusion:
             H, W = dims["spatial"]
-            g_fields = set(GaussianDiffusionConfig.__dataclass_fields__)
-            g_cfg = GaussianDiffusionConfig(
-                **{k: v for k, v in diff_cfg.items() if k in g_fields}
-            )
-            engine = GaussianDiffusionEngine(
-                g_cfg, denoiser_apply=apply_fn,
-                sample_shape=(H, W, dims["output"] * exp_cfg.horizon),
-            )
+            sample_shape = (H, W, dims["output"] * exp_cfg.horizon)
+            if diff_name == "ddpm":
+                g_fields = set(GaussianDiffusionConfig.__dataclass_fields__)
+                g_cfg = GaussianDiffusionConfig(
+                    **{k: v for k, v in diff_cfg.items() if k in g_fields}
+                )
+                engine = GaussianDiffusionEngine(g_cfg, denoiser_apply=apply_fn, sample_shape=sample_shape)
+            else:  # mcvd
+                from dyffusion_tpu.diffusion.mcvd import McvdConfig, McvdEngine
+
+                m_fields = set(McvdConfig.__dataclass_fields__)
+                m_cfg = McvdConfig(**{k: v for k, v in diff_cfg.items() if k in m_fields})
+                engine = McvdEngine(m_cfg, scorenet_apply=apply_fn, sample_shape=sample_shape)
             exp.diffusion_engine = engine
         exp.model = model
         loss_fn = exp.make_loss_fn(train_apply)
