@@ -595,6 +595,7 @@ class DyffusionEngine:
                 x_new = self.interpolate(
                     ip_params, initial_condition, x0_hat, t_next_b, static_condition, dropout_rng=ip_rng
                 )
+            x_new = x_new.astype(out.dtype)  # keep low-precision path consistent
             write_slot = jnp.where(is_dyn, slot, st.n_outputs)
             out = jax.lax.dynamic_update_index_in_dim(out, x_new, write_slot, 0)
             return (x_new, out), None
@@ -619,7 +620,7 @@ class DyffusionEngine:
                 x_final = x_s - x_ip_cur + x0_hat
             else:
                 x_final = x0_hat
-            out = jax.lax.dynamic_update_index_in_dim(out, x_final, mp.horizon - 1, 0)
+            out = jax.lax.dynamic_update_index_in_dim(out, x_final.astype(out.dtype), mp.horizon - 1, 0)
         # early-stopped schedules (last < N-1): the carry already holds the
         # latest dynamical estimate; outputs past it stay zero (ref :424-426).
 
@@ -640,7 +641,7 @@ class DyffusionEngine:
                     ip_params, ic_r, x0_r, t_r, sc_r,
                     dropout_rng=k_ref if ipol_dropout else None,
                 )
-                refined = refined.reshape((n_i, B) + refined.shape[1:])
+                refined = refined.reshape((n_i, B) + refined.shape[1:]).astype(out.dtype)
                 for idx, i_n in enumerate(dyn_times):
                     if float(i_n).is_integer():
                         out = out.at[int(i_n) - 1].set(refined[idx])
