@@ -319,7 +319,36 @@ def run_experiment(
     )
     if trainer.ckpt is not None:
         trainer.ckpt.save_config(config)
+
+    # metrics logger: JSONL stream + hparams snapshot (+ optional wandb)
+    from dyffusion_tpu.utils.logging import MetricsLogger
+
+    logger = MetricsLogger(run_dir, use_wandb=config.get("use_wandb", False))
+    logger.log_hyperparams(config)
+    trainer.log_fn = logger.log
+
+    # preemption-signal checkpointing (ref ``melk`` SIGUSR1 handler,
+    # utils.py:375-384 + train.py:88-89)
+    import signal
+
+    def _save_on_signal(signum, frame):
+        if trainer.ckpt is not None:
+            trainer.ckpt.save_last(trainer._state_tree(), int(trainer.state.step))
+
+    try:
+        signal.signal(signal.SIGUSR1, _save_on_signal)
+    except (ValueError, OSError):
+        pass  # not the main thread / unsupported platform
+
     if resume:
         trainer.maybe_resume()
-    best = trainer.fit()
+    try:
+        best = trainer.fit()
+    except BaseException:
+        # crash-path checkpoint before re-raise (ref train.py:95-101)
+        if trainer.ckpt is not None and int(trainer.state.step) > 0:
+            trainer.ckpt.save_last(trainer._state_tree(), int(trainer.state.step))
+        raise
+    finally:
+        logger.finish()
     return trainer, best

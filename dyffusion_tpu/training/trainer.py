@@ -53,10 +53,12 @@ def make_train_step(loss_fn: Callable, grad_clip_metrics: bool = True):
         (loss, (metrics, updates)), grads = jax.value_and_grad(wrapped, has_aux=True)(state.params)
         new_state = state.apply_gradients(grads, model_state_updates=updates or None).replace(rng=rng)
         if grad_clip_metrics:
-            gnorm = jnp.sqrt(
-                sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in jax.tree_util.tree_leaves(grads))
-            )
-            metrics = {**metrics, "grad_norm": gnorm}
+            leaves = jax.tree_util.tree_leaves(grads)
+            gnorm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in leaves))
+            # zero-gradient fraction diagnostic (ref _base_experiment.py:449-452)
+            n_zero = sum(jnp.sum(g == 0).astype(jnp.float32) for g in leaves)
+            n_total = sum(g.size for g in leaves)
+            metrics = {**metrics, "grad_norm": gnorm, "zero_grad_frac": n_zero / n_total}
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,))
