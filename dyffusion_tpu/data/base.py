@@ -131,6 +131,20 @@ class DataModule:
     def train_batches(self, rng: Optional[np.random.Generator] = None):
         return self.split("train").batches(self.batch_size, shuffle=True, rng=rng, drop_last=True)
 
+    def train_loader(self, rng: Optional[np.random.Generator] = None, device_put=None):
+        """Prefetching train iterator: native C++ batch gather + background
+        device staging (see ``dyffusion_tpu.data.native_loader``)."""
+        from dyffusion_tpu.data.native_loader import PrefetchIterator
+
+        return PrefetchIterator(
+            self.split("train").tensors,
+            batch_size=self.batch_size,
+            shuffle=True,
+            rng=rng,
+            drop_last=True,
+            device_put=device_put,
+        )
+
     def val_batches(self):
         return self.split("val").batches(self.eval_batch_size)
 

@@ -139,11 +139,15 @@ class Trainer:
         best = np.nan
         step = int(self.state.step)
         done = False
+        def _to_device(batch):
+            return {k: jnp.asarray(v) for k, v in batch.items()}
+
         for epoch in range(self.max_epochs):
             epoch_start = time.time()
             n_batches, loss_sum = 0, 0.0
-            for batch in self.datamodule.train_batches(rng=self._np_rng):
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            # prefetching loader: native batch gather + background device
+            # staging, overlapping host assembly with the jitted step
+            for batch in self.datamodule.train_loader(rng=self._np_rng, device_put=_to_device):
                 t0 = time.time()
                 self.state, metrics = self.train_step(self.state, batch)
                 loss_sum += float(metrics["loss"])
