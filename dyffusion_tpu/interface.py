@@ -272,6 +272,7 @@ def create_train_state(config: Dict[str, Any], variables: Dict[str, Any]) -> Tra
         name=opt.pop("name", "adamw"),
         gradient_clip_val=config.get("trainer", {}).get("gradient_clip_val"),
         scheduler=mod.get("scheduler"),
+        accumulate_grad_batches=config.get("trainer", {}).get("accumulate_grad_batches", 1),
         **opt,
     )
     params = variables["params"]
@@ -316,6 +317,7 @@ def run_experiment(
         monitor=config.get("module", {}).get("monitor") or exp.monitor,
         val_every_n_epochs=tr_cfg.get("val_every_n_epochs", 1),
         save_checkpoints=tr_cfg.get("save_checkpoints", True),
+        early_stopping_patience=tr_cfg.get("early_stopping_patience"),
     )
     if trainer.ckpt is not None:
         trainer.ckpt.save_config(config)
@@ -352,3 +354,38 @@ def run_experiment(
     finally:
         logger.finish()
     return trainer, best
+
+
+def reload_and_test(
+    registry_dir: str,
+    run_id: str,
+    overrides: Optional[list] = None,
+    slot: str = "best",
+) -> Dict[str, float]:
+    """Test-mode: reload a finished run's config + best checkpoint and run
+    test evaluation with the test-size ensemble (ref ``train.py:44-67,
+    104-109`` + ``configs/mode/test.yaml``: best ckpt, num_predictions=50;
+    CLI overrides are merged over the stored config the way the reference
+    merges CLI args over the cloud-reloaded hydra config)."""
+    from dyffusion_tpu.config import apply_override
+
+    run_dir = find_run_dir(registry_dir, run_id)
+    ckpt = CheckpointManager(run_dir, monitor="val/crps")
+    config = ckpt.load_config()
+    for ov in overrides or []:
+        apply_override(config, ov)
+    config["registry_dir"] = registry_dir
+    config["run_id"] = run_id
+
+    datamodule = get_datamodule(config)
+    datamodule.setup()
+    exp, model, variables, loss_fn, eval_fns, _ = build_experiment(config, datamodule)
+    state = create_train_state(config, variables)
+    trainer = Trainer(
+        experiment=exp, datamodule=datamodule, state=state, loss_fn=loss_fn,
+        eval_fns=eval_fns, run_dir=run_dir, seed=config.get("seed", 0),
+        monitor=exp.monitor, save_checkpoints=True,
+    )
+    if not trainer.maybe_resume(slot=slot) and not trainer.maybe_resume(slot="last"):
+        raise FileNotFoundError(f"no checkpoint in {run_dir}")
+    return trainer.test()

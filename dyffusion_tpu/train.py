@@ -22,17 +22,34 @@ from dyffusion_tpu.interface import run_experiment
 
 def main(argv: Optional[List[str]] = None) -> float:
     argv = list(sys.argv[1:] if argv is None else argv)
-    preset = None
+    preset, mode, run_id, registry = None, "train", None, "runs"
     overrides = []
     for arg in argv:
         if arg.startswith("experiment="):
             preset = arg.split("=", 1)[1]
+        elif arg.startswith("mode="):
+            mode = arg.split("=", 1)[1]  # 'train' | 'test' (ref mode=test)
+        elif arg.startswith("run_id="):
+            run_id = arg.split("=", 1)[1]
         elif arg in ("--help", "-h"):
             print(__doc__)
             print("presets:", ", ".join(list_presets()))
             return 0.0
         else:
             overrides.append(arg)
+            if arg.startswith("registry_dir="):
+                registry = arg.split("=", 1)[1]
+
+    if mode == "test":
+        # reload a finished run and evaluate with the 50-member test ensemble
+        # (ref ``python run.py mode=test logger.wandb.id=<id>``)
+        from dyffusion_tpu.interface import reload_and_test
+
+        assert run_id, "mode=test requires run_id=<id>"
+        metrics = reload_and_test(registry, run_id, overrides)
+        print(json.dumps(metrics))
+        return metrics.get("test/crps", float("nan"))
+
     config = get_config(preset, overrides)
     trainer, best = run_experiment(config)
     print(json.dumps({"best": best, "monitor": trainer.monitor, "run_dir": trainer.ckpt.run_dir if trainer.ckpt else None}))

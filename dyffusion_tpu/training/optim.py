@@ -106,10 +106,13 @@ def build_optimizer(
     eps: float = 1e-8,
     gradient_clip_val: Optional[float] = None,
     scheduler: Optional[dict] = None,
+    accumulate_grad_batches: int = 1,
 ) -> optax.GradientTransformation:
     """Adam/AdamW + optional grad clipping + optional LR schedule
     (ref ``configure_optimizers``, ``_base_experiment.py:714-762``; grad clip
-    comes from the trainer config, e.g. ``gradient_clip_val: 1.0``)."""
+    comes from the trainer config, e.g. ``gradient_clip_val: 1.0``).
+    ``accumulate_grad_batches`` wraps the optimizer in optax.MultiSteps — the
+    reference's Lightning gradient accumulation (NS uses 2, OISST 4)."""
     if scheduler:
         sched_kwargs = dict(scheduler)
         sched_name = sched_kwargs.pop("name")
@@ -128,4 +131,6 @@ def build_optimizer(
         raise ValueError(f"Unknown optimizer: {name}")
     if gradient_clip_val:
         tx = optax.chain(optax.clip_by_global_norm(gradient_clip_val), tx)
+    if accumulate_grad_batches and accumulate_grad_batches > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_grad_batches)
     return tx

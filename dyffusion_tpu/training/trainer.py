@@ -83,6 +83,7 @@ class Trainer:
         val_every_n_epochs: int = 1,
         save_checkpoints: bool = True,
         log_fn: Optional[Callable[[Dict[str, float], int], None]] = None,
+        early_stopping_patience: Optional[int] = None,
     ):
         self.experiment = experiment
         self.datamodule = datamodule
@@ -99,6 +100,11 @@ class Trainer:
         self.ckpt = CheckpointManager(run_dir, self.monitor, monitor_mode) if save_checkpoints else None
         self.history: List[Dict[str, float]] = []
         self._np_rng = np.random.default_rng(seed)
+        # early stopping on the monitored metric (ref configs/callbacks
+        # early_stopping, e.g. OISST patience=10)
+        self.early_stopping_patience = early_stopping_patience
+        self._epochs_without_improvement = 0
+        self.monitor_mode = monitor_mode
 
     # ------------------------------------------------------------------
     def _state_tree(self):
@@ -124,11 +130,12 @@ class Trainer:
             rng=jax.random.wrap_key_data(jnp.asarray(tree["rng"])),
         )
 
-    def maybe_resume(self) -> bool:
-        """Resume from 'last' if present (ref ``train.py:44-69``)."""
-        if self.ckpt is None or not self.ckpt.has("last"):
+    def maybe_resume(self, slot: str = "last") -> bool:
+        """Resume from 'last' (training) or 'best' (test-mode reload)
+        (ref ``train.py:44-69``: last.ckpt on resume, best ckpt for test)."""
+        if self.ckpt is None or not self.ckpt.has(slot):
             return False
-        tree = self.ckpt.restore(self._state_tree(), "last")
+        tree = self.ckpt.restore(self._state_tree(), slot)
         self._load_state_tree(tree)
         return True
 
@@ -173,13 +180,20 @@ class Trainer:
                 epoch_metrics.update(val_metrics)
                 epoch_metrics["time/validation"] = time.time() - val_start
                 score = val_metrics.get(self.monitor, np.nan)
+                improved = False
                 if self.ckpt is not None:
-                    self.ckpt.save_best_if_improved(self._state_tree(), score, step)
+                    improved = self.ckpt.save_best_if_improved(self._state_tree(), score, step)
                     self.ckpt.save_last(self._state_tree(), step)
                 if np.isfinite(score):
+                    prev_best = best
                     best = score if np.isnan(best) else (
-                        min(best, score) if self.ckpt is None or self.ckpt.mode == "min" else max(best, score)
+                        min(best, score) if self.monitor_mode == "min" else max(best, score)
                     )
+                    improved = improved or np.isnan(prev_best) or best != prev_best
+                if self.early_stopping_patience is not None:
+                    self._epochs_without_improvement = 0 if improved else self._epochs_without_improvement + 1
+                    if self._epochs_without_improvement >= self.early_stopping_patience:
+                        done = True
             self.history.append(epoch_metrics)
             self.log_fn(epoch_metrics, step)
             if done:

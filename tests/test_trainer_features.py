@@ -1,0 +1,85 @@
+"""Trainer features: grad accumulation, early stopping, test-mode reload."""
+import numpy as np
+import pytest
+
+from dyffusion_tpu.config import get_config
+from dyffusion_tpu.interface import run_experiment, reload_and_test
+from dyffusion_tpu.train import main as cli_main
+
+TINY = [
+    "datamodule.n_traj=5",
+    "datamodule.n_time=16",
+    "datamodule.spatial=(8,8)",
+    "datamodule.channels=1",
+    "datamodule.horizon=3",
+    "datamodule.batch_size=4",
+    "model.dim=8",
+    "model.dim_mults=(1,)",
+    "model.block_dropout=0.2",
+    "module.num_predictions=2",
+    "module.num_predictions_test=3",
+    "trainer.max_epochs=2",
+]
+
+
+def test_gradient_accumulation_delays_param_updates(tmp_path):
+    import jax.numpy as jnp
+    import jax
+
+    from dyffusion_tpu.interface import build_experiment, create_train_state, get_datamodule
+    from dyffusion_tpu.training.trainer import make_train_step
+
+    cfg = get_config(
+        "synthetic_interpolation",
+        TINY + [f"registry_dir={tmp_path}", "trainer.accumulate_grad_batches=2", "trainer.save_checkpoints=False"],
+    )
+    dm = get_datamodule(cfg)
+    dm.setup()
+    exp, model, variables, loss_fn, eval_fns, _ = build_experiment(cfg, dm)
+    state = create_train_state(cfg, variables)
+    step = make_train_step(loss_fn)
+    batch = {k: jnp.asarray(v) for k, v in next(iter(dm.train_batches())).items()}
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    state, _ = step(state, batch)  # micro-step 1: params must NOT move yet
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    state, _ = step(state, batch)  # micro-step 2: accumulated update applies
+    p2 = jax.tree_util.tree_leaves(state.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p2))
+
+
+def test_early_stopping_breaks_training(tmp_path):
+    cfg = get_config(
+        "synthetic_interpolation",
+        TINY
+        + [
+            f"registry_dir={tmp_path}",
+            "trainer.max_epochs=6",
+            "trainer.val_every_n_epochs=1",
+            "trainer.early_stopping_patience=1",
+            "module.optimizer.lr=0.0",  # no learning => no improvement after epoch 1
+        ],
+    )
+    trainer, best = run_experiment(cfg)
+    # must stop well before max_epochs: 1 improving epoch + 1 patience
+    assert len(trainer.history) <= 3
+
+
+def test_test_mode_reload_runs_test_ensemble(tmp_path):
+    cfg = get_config("synthetic_interpolation", TINY + [f"registry_dir={tmp_path}"])
+    trainer, best = run_experiment(cfg)
+    import os
+
+    run_id = os.path.basename(trainer.ckpt.run_dir)
+    metrics = reload_and_test(str(tmp_path), run_id)
+    assert "test/crps" in metrics and np.isfinite(metrics["test/crps"])
+
+
+def test_cli_test_mode(tmp_path):
+    cfg = get_config("synthetic_interpolation", TINY + [f"registry_dir={tmp_path}"])
+    trainer, _ = run_experiment(cfg)
+    import os
+
+    run_id = os.path.basename(trainer.ckpt.run_dir)
+    score = cli_main(["mode=test", f"run_id={run_id}", f"registry_dir={tmp_path}"])
+    assert np.isfinite(score)
