@@ -241,6 +241,15 @@ def resolve(cfg: Dict[str, Any]) -> Dict[str, Any]:
         return node
 
     cfg = walk(cfg)
+    # debug mode (ref configs/mode/debug.yaml + config_utils.py:119-135):
+    # tiny fast run with NaN checking
+    if cfg.get("debug"):
+        cfg["trainer"] = deep_merge(
+            cfg.get("trainer", {}),
+            {"max_epochs": 1, "max_steps": 2, "val_every_n_epochs": 1, "save_checkpoints": False},
+        )
+        cfg["module"] = deep_merge(cfg.get("module", {}), {"num_predictions": 2, "num_predictions_test": 2})
+        cfg["jax_debug_nans"] = True
     # rule: DYffusion timesteps == horizon (ref forecasting_multi_horizon.py:404)
     diff = cfg.get("diffusion")
     if diff and diff.get("name") == "dyffusion":

@@ -295,6 +295,10 @@ def run_experiment(
 ) -> Tuple[Trainer, float]:
     """Full training driver (ref ``run_model``, ``src/train.py:18-127``):
     seed, resume detection, model+data instantiation, fit, return best score."""
+    if config.get("jax_debug_nans"):
+        # debug-mode NaN detection (the jax analogue of torch detect_anomaly,
+        # ref configs/trainer/debug.yaml:20)
+        jax.config.update("jax_debug_nans", True)
     datamodule = datamodule or get_datamodule(config)
     datamodule.setup()
     exp, model, variables, loss_fn, eval_fns, engine = build_experiment(
