@@ -649,6 +649,44 @@ class DyffusionEngine:
         preds = out[: st.n_outputs]  # (h, B, H, W, C)
         return jnp.moveaxis(preds, 0, 1)  # (B, h, H, W, C)
 
+    def sample_at_times(
+        self,
+        fc_params: Params,
+        ip_params: Params,
+        rng: jax.Array,
+        initial_condition: Array,
+        times: Sequence[float],
+        static_condition: Optional[Array] = None,
+    ) -> Tuple[Array, Array]:
+        """Predictions at arbitrary (possibly fractional) dynamical times.
+
+        Runs the full sampler, then one batched interpolator forward from the
+        final x-last estimate at each requested time in (0, horizon) — the
+        mechanism behind the reference's fractional ``prediction_timesteps``
+        (ref ``sample_loop`` refine pass ``:408-422`` with
+        ``hparams.prediction_timesteps``).
+
+        Returns:
+            (dyn_preds (B, h, ...), time_preds (B, len(times), ...)).
+        """
+        preds = self.sample(fc_params, ip_params, rng, initial_condition, static_condition)
+        x_last = preds[:, -1]
+        B = initial_condition.shape[0]
+        n_i = len(times)
+        ic_r = jnp.tile(initial_condition, (n_i,) + (1,) * (initial_condition.ndim - 1))
+        x0_r = jnp.tile(x_last, (n_i,) + (1,) * (x_last.ndim - 1))
+        t_r = jnp.repeat(jnp.asarray(times, jnp.float32), B)
+        sc_r = None if static_condition is None else jnp.tile(
+            static_condition, (n_i,) + (1,) * (static_condition.ndim - 1)
+        )
+        k_ref = jax.random.fold_in(rng, 987654)
+        refined = self.interpolate(
+            ip_params, ic_r, x0_r, t_r, sc_r,
+            dropout_rng=k_ref if self.cfg.enable_interpolator_dropout else None,
+        )
+        refined = refined.reshape((n_i, B) + refined.shape[1:])
+        return preds, jnp.moveaxis(refined, 0, 1)
+
     def sample_ensemble(
         self,
         fc_params: Params,

@@ -124,3 +124,18 @@ def evaluate_ensemble_prediction(
         out["mse_per_mem"] = np.asarray(per_mem)
         out["mse_per_mem_mean"] = np.asarray(jnp.mean(per_mem))
     return out
+
+
+def evaluate_ensemble_prediction_for_varying_members(
+    predictions, targets
+) -> Dict[str, np.ndarray]:
+    """Metric sweep over ensemble sizes 1..m (ref ``evaluation.py:145-156``):
+    for each n, metrics of the first-n-member sub-ensemble."""
+    predictions = jnp.asarray(predictions)
+    m = predictions.shape[0]
+    out: Dict[str, list] = {}
+    for n in range(1, m + 1):
+        res = evaluate_ensemble_prediction(predictions[:n], targets)
+        for k, v in res.items():
+            out.setdefault(k, []).append(v)
+    return {k: np.asarray(v) for k, v in out.items()}
