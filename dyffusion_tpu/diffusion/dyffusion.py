@@ -629,19 +629,24 @@ class DyffusionEngine:
             dyn_times = list(cfg.prediction_timesteps or mp.dynamical_steps.values())
             dyn_times = [i for i in dyn_times if i < self.num_timesteps and i < mp.horizon]
             if dyn_times:
-                n_i = len(dyn_times)
-                # ONE batched interpolator forward over all refined steps
-                ic_r = jnp.tile(initial_condition, (n_i,) + (1,) * (initial_condition.ndim - 1))
-                x0_r = jnp.tile(x0_hat, (n_i,) + (1,) * (x0_hat.ndim - 1))
-                t_r = jnp.repeat(jnp.asarray(dyn_times, jnp.float32), B)
-                sc_r = None if static_condition is None else jnp.tile(
-                    static_condition, (n_i,) + (1,) * (static_condition.ndim - 1)
+                # sequential scan over refined times at batch B each — one
+                # giant (n_i*B) batch OOMs on large backbones (the NS
+                # unet_simple works at 256x256 internally), and the refine
+                # pass is a negligible fraction of sampler time anyway
+                def refine_one(i, t_and_key):
+                    t_val, j = t_and_key
+                    t_b = jnp.full((B,), t_val)
+                    r = self.interpolate(
+                        ip_params, initial_condition, x0_hat, t_b, static_condition,
+                        dropout_rng=jax.random.fold_in(k_ref, j) if ipol_dropout else None,
+                    )
+                    return i, r
+
+                times_arr = jnp.asarray(dyn_times, jnp.float32)
+                _, refined = jax.lax.scan(
+                    refine_one, 0, (times_arr, jnp.arange(len(dyn_times)))
                 )
-                refined = self.interpolate(
-                    ip_params, ic_r, x0_r, t_r, sc_r,
-                    dropout_rng=k_ref if ipol_dropout else None,
-                )
-                refined = refined.reshape((n_i, B) + refined.shape[1:]).astype(out.dtype)
+                refined = refined.astype(out.dtype)  # (n_i, B, ...)
                 for idx, i_n in enumerate(dyn_times):
                     if float(i_n).is_integer():
                         out = out.at[int(i_n) - 1].set(refined[idx])
