@@ -78,6 +78,14 @@ class SyntheticDataModule(DataModule):
             "spatial": self.spatial,
         }
 
+    def get_horizon(self, split: str) -> int:
+        """test/predict splits carry prediction_horizon frames so the
+        autoregressive rollout has targets (the datamodule convention of the
+        physical benchmarks, ref ``get_horizon``)."""
+        if split in ("test", "predict"):
+            return self.prediction_horizon or self.horizon
+        return self.horizon
+
     def setup(self, stage: Optional[str] = None) -> None:
         if self._splits:
             return
@@ -94,7 +102,7 @@ class SyntheticDataModule(DataModule):
             "test": trajs[n_tr + n_val :] if n_tr + n_val < self.n_traj else trajs[-1:],
         }
         for name, tr in split_trajs.items():
-            tensors = build_examples(tr, self.window, self.horizon)
+            tensors = build_examples(tr, self.window, self.get_horizon(name))
             if self.conditional_channels > 0:
                 cond = rng.normal(size=(1, H, W, self.conditional_channels)).astype(np.float32)
                 tensors["condition"] = np.repeat(cond, tensors["dynamics"].shape[0], axis=0)
