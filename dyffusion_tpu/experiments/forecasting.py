@@ -220,16 +220,25 @@ class TimeConditionedForecastingExperiment(ForecastingExperiment):
             inputs0 = stack_window(dynamics, w)
             cond = self.static_condition(batch)
             times = jnp.arange(1, h + 1, dtype=jnp.float32)
-            cond_t = None if cond is None else jnp.tile(cond, (h,) + (1,) * (cond.ndim - 1))
-            t_vec = jnp.repeat(times, B)
 
             def window_preds(key, inputs):
                 k_noise, k_drop = jax.random.split(key)
-                x = jnp.tile(inputs, (h,) + (1,) * (inputs.ndim - 1))
                 if noise > 0:
-                    x = x + noise * jax.random.normal(k_noise, x.shape, x.dtype)
-                p = apply_fn(variables, x, t_vec, cond_t, k_drop if use_dropout else None)
-                return jnp.moveaxis(p.reshape((h, B) + p.shape[1:]), 0, 1)  # (B, h, ...)
+                    inputs = inputs + noise * jax.random.normal(k_noise, inputs.shape, inputs.dtype)
+
+                # scan over horizon times at batch B (memory-safe for big
+                # backbones; see interpolation.py note)
+                def at_time(c, t_and_i):
+                    t_val, i = t_and_i
+                    t_b = jnp.full((B,), t_val)
+                    p = apply_fn(
+                        variables, inputs, t_b, cond,
+                        jax.random.fold_in(k_drop, i) if use_dropout else None,
+                    )
+                    return c, p
+
+                _, p = jax.lax.scan(at_time, 0, (times, jnp.arange(h)))
+                return jnp.moveaxis(p, 0, 1)  # (B, h, ...)
 
             member_keys = jax.random.split(rng, n_members)
             preds = jax.vmap(lambda k: window_preds(k, inputs0))(member_keys)  # (N, B, h, ...)

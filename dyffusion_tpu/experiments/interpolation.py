@@ -90,20 +90,27 @@ class InterpolationExperiment(Experiment):
             inputs = self.get_inputs(dynamics)  # (B, H, W, wc+c)
             cond = self.static_condition(batch)
             times = jnp.arange(1, h, dtype=jnp.float32)  # (h-1,)
-            n_t = h - 1
-
-            # batch all interpolation times into one forward: (n_t*B, ...)
-            inputs_t = jnp.tile(inputs, (n_t,) + (1,) * (inputs.ndim - 1))
-            cond_t = None if cond is None else jnp.tile(cond, (n_t,) + (1,) * (cond.ndim - 1))
-            t_vec = jnp.repeat(times, B)
 
             def one_member(key):
                 k_noise, k_drop = jax.random.split(key)
-                x = inputs_t
+                x = inputs
                 if noise > 0:
                     x = x + noise * jax.random.normal(k_noise, x.shape, x.dtype)
-                preds = apply_fn(variables, x, t_vec, cond_t, k_drop if use_dropout else None)
-                return preds.reshape((n_t, B) + preds.shape[1:])
+
+                # scan over interpolation times at batch B each — tiling all
+                # times into one (n_t*B) forward OOMs on the big backbones
+                # (e.g. NS unet_simple at 256x256 internal, h=16)
+                def at_time(c, t_and_i):
+                    t_val, i = t_and_i
+                    t_b = jnp.full((B,), t_val)
+                    p = apply_fn(
+                        variables, x, t_b, cond,
+                        jax.random.fold_in(k_drop, i) if use_dropout else None,
+                    )
+                    return c, p
+
+                _, preds = jax.lax.scan(at_time, 0, (times, jnp.arange(h - 1)))
+                return preds  # (n_t, B, ...)
 
             member_keys = jax.random.split(rng, n_members)
             preds = jax.vmap(one_member)(member_keys)  # (N, n_t, B, H, W, C)
