@@ -215,11 +215,13 @@ class Trainer:
 
         acc: Dict[str, List[np.ndarray]] = defaultdict(list)
         variables = self.state.eval_variables()
+        sample_start = time.time()
         for bi, batch in enumerate(batches):
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
             out = eval_fn(variables, batch, jax.random.fold_in(eval_rng, bi))
             for k, v in out.items():
                 acc[k].append(np.asarray(v))
+        sampling_time = time.time() - sample_start
 
         # concat over batches: preds on axis 1 (member axis leads), targets axis 0
         results: Dict[str, np.ndarray] = {}
@@ -246,6 +248,16 @@ class Trainer:
         for name in ("crps", "mse", "ssr"):
             if f"{split}/avg/{name}" in metrics:
                 metrics[f"{split}/{name}"] = metrics[f"{split}/avg/{name}"]
+        # sampler throughput as a first-class metric (SURVEY.md §5.1 / the
+        # BASELINE.md north-star quantity): ensemble-member frames per second
+        # per chip produced by the eval sampler
+        n_frames = sum(
+            v.shape[0] * v.shape[1] for k, v in results.items() if k.endswith("_preds")
+        )
+        if n_frames and sampling_time > 0:
+            metrics[f"{split}/frames_per_sec_per_chip"] = n_frames / sampling_time / max(
+                1, jax.device_count()
+            )
         return metrics
 
     def test(self) -> Dict[str, float]:

@@ -49,9 +49,11 @@ def crps_ensemble(predictions: Array, targets: Array, mean_over_samples: bool = 
     return jnp.mean(crps.reshape(crps.shape[0], -1), axis=-1)
 
 
-def crps_ensemble_sorted(predictions: Array, targets: Array) -> Array:
-    """O(m log m) CRPS via the sorted/weighted form; same value as
-    :func:`crps_ensemble`. Useful for large ensembles."""
+def crps_ensemble_sorted(predictions: Array, targets: Array, mean_over_samples: bool = True) -> Array:
+    """O(m log m) CRPS via the sorted/weighted form; numerically identical to
+    :func:`crps_ensemble` but WITHOUT the (m, m, *dims) pairwise intermediate
+    — required for test-scale ensembles (50 members x full trajectories would
+    otherwise materialize tens of GB)."""
     predictions = jnp.asarray(predictions)
     m = predictions.shape[0]
     x = jnp.sort(predictions, axis=0)
@@ -59,9 +61,12 @@ def crps_ensemble_sorted(predictions: Array, targets: Array) -> Array:
     # integral of (F(t) - 1{t >= y})^2 dt in closed form over sorted members
     skill = jnp.mean(jnp.abs(x - y), axis=0)
     i = jnp.arange(1, m + 1).reshape((m,) + (1,) * (predictions.ndim - 1))
-    # sum_i x_(i) * (2i - m - 1) equals 0.5 * sum_ij |x_i - x_j| / m ... scaled
+    # sum_i x_(i) * (2i - m - 1) == 0.5 * sum_ij |x_i - x_j| / m (scaled)
     spread = jnp.sum(x * (2 * i - m - 1), axis=0) / (m * m)
-    return jnp.mean(skill - spread)
+    crps = skill - spread
+    if mean_over_samples:
+        return jnp.mean(crps)
+    return jnp.mean(crps.reshape(crps.shape[0], -1), axis=-1)
 
 
 def mse_ensemble(predictions: Array, targets: Array, mean_over_samples: bool = True) -> Array:
@@ -115,7 +120,9 @@ def evaluate_ensemble_prediction(
     )
     mse = mse_ensemble(predictions, targets, mean_over_samples)
     rmse = jnp.sqrt(mse)
-    crps = crps_ensemble(predictions, targets, mean_over_samples)
+    # sorted estimator: same value as the pairwise form, scales to 50-member
+    # test ensembles over full trajectories
+    crps = crps_ensemble_sorted(predictions, targets, mean_over_samples)
     ssr = spread_skill_ratio(predictions, targets, skill=rmse, mean_over_samples=mean_over_samples)
     out = {"mse": np.asarray(mse), "crps": np.asarray(crps), "ssr": np.asarray(ssr)}
     if also_per_member_metrics:
