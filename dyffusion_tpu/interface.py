@@ -7,7 +7,6 @@ The W&B-cloud checkpoint resolution becomes a local run-registry lookup.
 """
 from __future__ import annotations
 
-import copy
 import os
 from typing import Any, Callable, Dict, Optional, Tuple
 
