@@ -32,7 +32,7 @@ _BASE: Dict[str, Any] = {
         "prediction_inputs_noise": 0.0,
         "enable_inference_dropout": True,
         "loss_function": "mse",
-        "use_ema": True,
+        "use_ema": False,  # reference default; enable per-run with module.use_ema=true
         "ema_decay": 0.9999,
         "optimizer": {"name": "adamw", "lr": 3e-4, "weight_decay": 1e-5},
         "scheduler": None,

@@ -51,7 +51,7 @@ class ExperimentConfig:
     prediction_inputs_noise: float = 0.0
     enable_inference_dropout: bool = True
     loss_function: str = "mse"
-    use_ema: bool = True
+    use_ema: bool = False  # reference default (configs/module/_base_experiment_config.yaml:12)
     ema_decay: float = 0.9999
     optimizer: Dict[str, Any] = field(default_factory=lambda: {"name": "adamw", "lr": 3e-4})
     scheduler: Optional[Dict[str, Any]] = None

@@ -281,7 +281,7 @@ def create_train_state(config: Dict[str, Any], variables: Dict[str, Any]) -> Tra
         tx=tx,
         rng=jax.random.key(config.get("seed", 0) + 1),
         model_state=model_state,
-        use_ema=mod.get("use_ema", True),
+        use_ema=mod.get("use_ema", False),
         ema_decay=mod.get("ema_decay", 0.9999),
     )
 
