@@ -242,6 +242,7 @@ class DyffusionConfig:
     lambda_reconstruction: float = 1.0
     lambda_reconstruction2: float = 0.0
     num_input_channels: int = 1  # C of a single dynamics frame (for x_s init slice)
+    scan_unroll: int = 1  # lax.scan unroll factor for the sampler body
 
     def __post_init__(self):
         assert self.forward_conditioning in ("data", "none", "data+noise")
@@ -600,7 +601,7 @@ class DyffusionEngine:
             out = jax.lax.dynamic_update_index_in_dim(out, x_new, write_slot, 0)
             return (x_new, out), None
 
-        (x_s, out), _ = jax.lax.scan(body, (x_s0, out0), xs)
+        (x_s, out), _ = jax.lax.scan(body, (x_s0, out0), xs, unroll=cfg.scan_unroll)
 
         # ---- peeled final step (s = last schedule element) ----
         k_ip, k_fc_noise, k_ref = step_rngs(n_body)
