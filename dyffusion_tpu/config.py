@@ -68,7 +68,8 @@ _DATASETS: Dict[str, Dict[str, Any]] = {
             "upsample_dims": [256, 256], "dropout": 0.15,
         },
         "module": {"optimizer": {"name": "adamw", "lr": 3e-4, "weight_decay": 1e-4}},
-        "trainer": {"max_epochs": 200, "gradient_clip_val": 1.0},
+        # accumulate_grad_batches: 2 (ref experiment/navier_stokes.yaml:30)
+        "trainer": {"max_epochs": 200, "gradient_clip_val": 1.0, "accumulate_grad_batches": 2},
     },
     "oisst_pacific": {
         "datamodule": {
@@ -81,7 +82,11 @@ _DATASETS: Dict[str, Dict[str, Any]] = {
             "block_dropout": 0.3, "block_dropout1": 0.0, "attn_dropout": 0.1,
         },
         "module": {"optimizer": {"name": "adamw", "lr": 1e-4, "weight_decay": 1e-5}},
-        "trainer": {"max_epochs": 50, "gradient_clip_val": 1.0},
+        # accumulate=4 + early-stop patience 10 (ref experiment/oisst_pacific.yaml:29-33)
+        "trainer": {
+            "max_epochs": 50, "gradient_clip_val": 1.0,
+            "accumulate_grad_batches": 4, "early_stopping_patience": 10,
+        },
         "seed": 8,
     },
 }
@@ -135,6 +140,27 @@ _METHODS: Dict[str, Dict[str, Any]] = {
             "ddim_sampling_eta": 1.0,
         },
     },
+    # LDM-style second DDPM variant (ref configs/diffusion/denoising_v2.yaml
+    # -> src/diffusion/ddpm.py:28-424), selectable exactly like the reference
+    "ddpm_v2": {
+        "experiment": "simultaneous",
+        "model": {"with_time_emb": True},
+        "diffusion": {
+            "name": "ddpm_v2",
+            "timesteps": 1000,
+            "beta_schedule": "linear",
+            "parameterization": "pred_noise",  # ref objective: "pred_noise"
+            "linear_start": 0.0015,
+            "linear_end": 0.0195,
+            "cosine_s": 8e-3,
+            "original_elbo_weight": 0.0,
+            "v_posterior": 0.0,
+            "l_simple_weight": 1.0,
+            "learn_logvar": False,
+            "logvar_init": 0.0,
+            "hardcode_betaN": False,
+        },
+    },
     # MCVD video-diffusion baseline (ref configs/diffusion/ddpm_mcvd.yaml +
     # experiment/*_mcvd.yaml — keeps the dataset backbone; model.name=ncsnpp
     # selects the NCSN++ score network)
@@ -156,13 +182,52 @@ _METHODS: Dict[str, Dict[str, Any]] = {
     },
 }
 
-# dataset-x-method extra tweaks (ref e.g. oisst_pacific_dyffusion.yaml k=25)
+# dataset-x-method extra tweaks, audited line-by-line against the reference
+# experiment yamls (ref configs/experiment/{ds}_{method}.yaml — see each entry)
 _COMBO: Dict[str, Dict[str, Any]] = {
+    # ref oisst_pacific_dyffusion.yaml:14-18: k=25, refine=False, data+noise
     "oisst_pacific_dyffusion": {
-        "diffusion": {"additional_interpolation_steps": 25},
+        "diffusion": {
+            "additional_interpolation_steps": 25,
+            "refine_intermediate_predictions": False,
+            "forward_conditioning": "data+noise",
+        },
     },
+    # ref navier_stokes_dyffusion.yaml:14-16: refine=True, conditioning "none"
     "navier_stokes_dyffusion": {
-        "diffusion": {"refine_intermediate_predictions": True},
+        "diffusion": {
+            "refine_intermediate_predictions": True,
+            "forward_conditioning": "none",
+        },
+    },
+    # ref spring_mesh_dyffusion.yaml:14-17: refine=True, "data", no cold-last
+    "spring_mesh_dyffusion": {
+        "diffusion": {
+            "refine_intermediate_predictions": True,
+            "forward_conditioning": "data",
+            "use_cold_sampling_for_last_step": False,
+        },
+    },
+    # ref oisst_pacific_interpolation.yaml:14-22
+    "oisst_pacific_interpolation": {
+        "model": {"block_dropout": 0.6, "block_dropout1": 0.2, "attn_dropout": 0.6},
+        "module": {"optimizer": {"lr": 3e-4}},
+    },
+    # ref spring_mesh_interpolation.yaml:13-14
+    "spring_mesh_interpolation": {"model": {"dropout": 0.05}},
+    # ref oisst_pacific_time_conditioned.yaml:12-19
+    "oisst_pacific_time_conditioned": {
+        "model": {"block_dropout": 0.6, "block_dropout1": 0.3, "attn_dropout": 0.6},
+        "module": {"optimizer": {"lr": 3e-4}},
+    },
+    # ref navier_stokes_time_conditioned.yaml:14-15
+    "navier_stokes_time_conditioned": {"model": {"dropout": 0.2}},
+    # ref spring_mesh_time_conditioned.yaml:13-14
+    "spring_mesh_time_conditioned": {"model": {"dropout": 0.05}},
+    # ref oisst_pacific_at_once.yaml:12-20 (the "Simultaneous" baseline)
+    "oisst_pacific_simultaneous": {
+        "model": {"block_dropout": 0.6, "block_dropout1": 0.3, "attn_dropout": 0.6},
+        "module": {"optimizer": {"lr": 3e-4}},
     },
 }
 

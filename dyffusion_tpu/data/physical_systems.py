@@ -190,6 +190,12 @@ class PhysicalSystemsDataModule(DataModule):
     def _split_dir(self, split: str) -> str:
         return os.path.join(self.data_dir, self._first_subdir, self.subdirs[split])
 
+    def test_batches(self):
+        """Test batches are single FULL trajectories (each test example spans
+        the whole prediction horizon; ref ``physical_systems_benchmark.py:50``:
+        ``self.test_batch_size = 1``)."""
+        return self.split("test").batches(1)
+
     def setup(self, stage: Optional[str] = None) -> None:
         if self._splits:
             return

@@ -146,7 +146,7 @@ class LatentDDPMEngine:
         return self.p_losses(variables, k_loss, x_start, condition, t, logvar)
 
     # -- sampling (ref p_sample_loop :252-269) ------------------------------
-    def sample(self, variables, rng, condition: Array) -> Array:
+    def sample(self, variables, rng, condition: Array, return_intermediates: bool = False, log_every_t: int = 100):
         cfg = self.cfg
         B = condition.shape[0]
         shape = (B,) + self.sample_shape
@@ -173,7 +173,47 @@ class LatentDDPMEngine:
             log_var = self._extract(self.posterior_log_variance_clipped, t_b, img.ndim)
             noise = jax.random.normal(jax.random.fold_in(k_loop, t), shape)
             noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
-            return mean + jnp.exp(0.5 * log_var) * noise, None
+            new_img = mean + jnp.exp(0.5 * log_var) * noise
+            return new_img, (new_img if return_intermediates else None)
 
-        img, _ = jax.lax.scan(body, img0, ts)
+        img, inter = jax.lax.scan(body, img0, ts)
+        if return_intermediates:
+            # every log_every_t-th intermediate + the final image
+            # (ref ``p_sample_loop`` intermediates, ddpm.py:252-269)
+            idx = np.arange(0, self.num_timesteps, max(int(log_every_t), 1))
+            return img, jnp.concatenate([img0[None], inter[idx]], axis=0)
         return img
+
+    # -- diagnostics (ref log_images, ddpm.py:353-389) -----------------------
+    def log_images(
+        self,
+        variables,
+        rng,
+        x_start: Array,
+        condition: Array,
+        n_row: int = 4,
+        sample: bool = True,
+        log_every_t: int = 100,
+    ):
+        """Visual diagnostics: inputs, the forward diffusion row (q_sample at
+        log-spaced t), ancestral samples and the denoising row — the
+        capability of the reference's ``log_images``; consumers save/plot the
+        returned arrays."""
+        n_row = min(n_row, x_start.shape[0])
+        xs = x_start[:n_row]
+        out = {"inputs": xs}
+        k_noise, k_samp = jax.random.split(rng)
+        noise = jax.random.normal(k_noise, xs.shape, xs.dtype)
+        n_steps = min(10, self.num_timesteps)
+        t_row = np.linspace(0, self.num_timesteps - 1, n_steps).astype(np.int32)
+        out["diffusion_row"] = jnp.stack(
+            [self.q_sample(xs, jnp.full((n_row,), int(t)), noise) for t in t_row]
+        )
+        if sample:
+            samples, denoise_row = self.sample(
+                variables, k_samp, condition[:n_row],
+                return_intermediates=True, log_every_t=log_every_t,
+            )
+            out["samples"] = samples
+            out["denoise_row"] = denoise_row
+        return out

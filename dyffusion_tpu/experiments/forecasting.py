@@ -140,41 +140,94 @@ class DyffusionForecastingExperiment(ForecastingExperiment):
 
     def make_eval_fn(self, apply_fn=None, split: str = "val", autoregressive: bool = False) -> Callable:
         """Full sampler + ensemble; optional AR chaining over
-        ceil(prediction_horizon/h) windows."""
+        ceil(prediction_horizon/h) windows.
+
+        Two ensemble layouts (``ExperimentConfig.fold_members_into_batch``):
+        a vmap over member rng keys (the default), or members folded into the
+        batch axis — one (N*B)-batch sampler call, ~1.8x faster at SST scale
+        (the round-1 bench path, now the product path). ``eval_dtype`` casts
+        the sampler compute (params + inputs) to bf16; predictions are cast
+        back to f32 before boundary conditions and metrics.
+        """
         engine = self.engine
         h = self.cfg.horizon
         n_members = self.num_members(split)
         noise = self.cfg.prediction_inputs_noise
         n_windows = (self.num_autoregressive_steps + 1) if autoregressive else 1
+        fold = self.cfg.fold_members_into_batch
+        dtype = jnp.bfloat16 if self.cfg.eval_dtype in ("bfloat16", "bf16") else None
+
+        def _tile(x):  # (B, ...) -> (N*B, ...)
+            return jnp.broadcast_to(x[None], (n_members,) + x.shape).reshape(
+                (n_members * x.shape[0],) + x.shape[1:]
+            )
 
         def eval_fn(variables, batch, rng):
             dynamics = batch["dynamics"]
             w = self.cfg.window
             condition0 = stack_window(dynamics, w)
             static_cond = self.static_condition(batch)
+            ip_params = self.interpolator_params
+            if dtype is not None:
+                cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(dtype), t)
+                variables, ip_params = cast(variables), cast(ip_params)
+                condition0 = condition0.astype(dtype)
+                static_cond = None if static_cond is None else static_cond.astype(dtype)
 
             out = {}
+
+            if fold:
+                B = condition0.shape[0]
+                cond_flat = _tile(condition0)
+                sc_flat = None if static_cond is None else _tile(static_cond)
+                key = rng
+                if noise > 0:
+                    k_n, key = jax.random.split(key)
+                    cond_flat = cond_flat + noise * jax.random.normal(
+                        k_n, cond_flat.shape, cond_flat.dtype
+                    )
+                preds = engine.sample(variables, ip_params, key, cond_flat, sc_flat)
+                preds = preds.reshape((n_members, B) + preds.shape[1:]).astype(jnp.float32)
+                preds = self.record_window(out, preds, batch, 0, dynamics)
+                for ar in range(1, n_windows):
+                    ar_inputs = self.next_window_inputs(preds)  # (N, B, H, W, w*C)
+                    ar_flat = ar_inputs.reshape((n_members * B,) + ar_inputs.shape[2:])
+                    if dtype is not None:
+                        ar_flat = ar_flat.astype(dtype)
+                    preds = engine.sample(
+                        variables, ip_params, jax.random.fold_in(rng, ar), ar_flat, sc_flat
+                    )
+                    preds = preds.reshape((n_members, B) + preds.shape[1:]).astype(jnp.float32)
+                    preds = self.record_window(out, preds, batch, ar, dynamics)
+                return out
+
             member_keys = jax.random.split(rng, n_members)
 
             def first_window(key):
                 if noise > 0:
                     k_n, key = jax.random.split(key)
-                    cond = condition0 + noise * jax.random.normal(k_n, condition0.shape)
+                    cond = condition0 + noise * jax.random.normal(
+                        k_n, condition0.shape, condition0.dtype
+                    )
                 else:
                     cond = condition0
-                return engine.sample(variables, self.interpolator_params, key, cond, static_cond)
+                return engine.sample(variables, ip_params, key, cond, static_cond)
 
             preds = jax.vmap(first_window)(member_keys)  # (N, B, h, H, W, C)
+            preds = preds.astype(jnp.float32)
             preds = self.record_window(out, preds, batch, 0, dynamics)
 
             # autoregressive continuation: each member continues its own
             # trajectory (ref :163 ``num_predictions=1`` after first window)
             for ar in range(1, n_windows):
                 ar_inputs = self.next_window_inputs(preds)  # (N, B, H, W, w*C)
+                if dtype is not None:
+                    ar_inputs = ar_inputs.astype(dtype)
                 member_keys = jax.vmap(lambda k: jax.random.fold_in(k, ar))(member_keys)
                 preds = jax.vmap(lambda k, c: engine.sample(
-                    variables, self.interpolator_params, k, c, static_cond
+                    variables, ip_params, k, c, static_cond
                 ))(member_keys, ar_inputs)
+                preds = preds.astype(jnp.float32)
                 preds = self.record_window(out, preds, batch, ar, dynamics)
             return out
 
@@ -263,6 +316,17 @@ class SimultaneousForecastingExperiment(ForecastingExperiment):
         super().__init__(cfg, dims, model, boundary_fn=boundary_fn)
         self.diffusion_engine = diffusion_engine
 
+    @staticmethod
+    def _split_logvar(variables):
+        """Pop the learnable per-timestep logvar (LDM-DDPM, ref ddpm.py:89-92)
+        off the params tree so the denoiser apply sees only model params."""
+        params = variables.get("params", {})
+        if "_diffusion_logvar" not in params:
+            return variables, None
+        params = dict(params)
+        logvar = params.pop("_diffusion_logvar")
+        return {**variables, "params": params}, logvar
+
     def actual_num_input_channels(self) -> int:
         if self.diffusion_engine is not None:
             # standard diffusion: model input is output-shaped (ref :87-90)
@@ -302,7 +366,11 @@ class SimultaneousForecastingExperiment(ForecastingExperiment):
                 sc = self.static_condition(batch)
                 if sc is not None:
                     cond = jnp.concatenate([cond, sc], axis=-1)
-                loss, aux = self.diffusion_engine.loss(variables, rng, targets, cond)
+                variables, logvar = self._split_logvar(variables)
+                if logvar is not None:
+                    loss, aux = self.diffusion_engine.loss(variables, rng, targets, cond, logvar=logvar)
+                else:
+                    loss, aux = self.diffusion_engine.loss(variables, rng, targets, cond)
                 return loss, (aux, {})
             k_drop, _ = jax.random.split(rng)
             preds, updates = train_apply(variables, inputs, None, self.static_condition(batch), k_drop)
@@ -319,6 +387,7 @@ class SimultaneousForecastingExperiment(ForecastingExperiment):
         n_windows = (self.num_autoregressive_steps + 1) if autoregressive else 1
 
         def eval_fn(variables, batch, rng):
+            variables, _ = self._split_logvar(variables)  # logvar is train-only
             dynamics = batch["dynamics"]
             inputs0 = stack_window(dynamics, w)
             sc = self.static_condition(batch)

@@ -223,7 +223,7 @@ def build_experiment(
 
     if kind == "simultaneous":
         diff_name = diff_cfg.get("name")
-        is_diffusion = diff_name in ("ddpm", "mcvd")
+        is_diffusion = diff_name in ("ddpm", "ddpm_v2", "mcvd")
         exp = SimultaneousForecastingExperiment(exp_cfg, dims, boundary_fn=boundary_fn)
         engine = None
         if is_diffusion:
@@ -244,6 +244,20 @@ def build_experiment(
                     **{k: v for k, v in diff_cfg.items() if k in g_fields}
                 )
                 engine = GaussianDiffusionEngine(g_cfg, denoiser_apply=apply_fn, sample_shape=sample_shape)
+            elif diff_name == "ddpm_v2":
+                # LDM-style DDPM (ref configs/diffusion/denoising_v2.yaml ->
+                # src/diffusion/ddpm.py:28-424)
+                from dyffusion_tpu.diffusion.ddpm_latent import LatentDDPMConfig, LatentDDPMEngine
+
+                l_fields = set(LatentDDPMConfig.__dataclass_fields__)
+                l_cfg = LatentDDPMConfig(**{k: v for k, v in diff_cfg.items() if k in l_fields})
+                engine = LatentDDPMEngine(l_cfg, denoiser_apply=apply_fn, sample_shape=sample_shape)
+                if l_cfg.learn_logvar:
+                    # the learnable per-timestep logvar is an extra trainable
+                    # leaf of params (ref ddpm.py:89-92); the experiment's
+                    # loss/eval fns pop it off before the denoiser apply
+                    variables = {**variables, "params": dict(variables["params"])}
+                    variables["params"]["_diffusion_logvar"] = engine.init_logvar()
             else:  # mcvd
                 from dyffusion_tpu.diffusion.mcvd import McvdConfig, McvdEngine
 
@@ -286,6 +300,28 @@ def create_train_state(config: Dict[str, Any], variables: Dict[str, Any]) -> Tra
     )
 
 
+def _build_mesh(tr_cfg: Dict[str, Any]):
+    """Device mesh for data-parallel training (the reference's one-line DDP,
+    ``configs/trainer/ddp.yaml:5``): ``trainer.devices`` = 'auto' (all
+    accelerator devices; mesh only when >1), an int, or 1 to stay
+    single-device. On the CPU backend 'auto' stays single-device — virtual
+    CPU devices (--xla_force_host_platform_device_count) are a test/dryrun
+    construct and must be opted into with an explicit ``trainer.devices=N``."""
+    from dyffusion_tpu.parallel import make_mesh
+
+    devices = tr_cfg.get("devices", "auto")
+    if devices in ("auto", -1, None):
+        n = jax.device_count() if jax.default_backend() != "cpu" else 1
+    else:
+        n = int(devices)
+    if n <= 1:
+        return None
+    assert n <= jax.device_count(), (
+        f"trainer.devices={n} but only {jax.device_count()} devices available"
+    )
+    return make_mesh(n_data=n, devices=jax.devices()[:n])
+
+
 def run_experiment(
     config: Dict[str, Any],
     datamodule: Optional[DataModule] = None,
@@ -293,20 +329,42 @@ def run_experiment(
     resume: bool = True,
 ) -> Tuple[Trainer, float]:
     """Full training driver (ref ``run_model``, ``src/train.py:18-127``):
-    seed, resume detection, model+data instantiation, fit, return best score."""
+    seed, resume detection, model+data instantiation, fit, return best score.
+    Multi-device: builds the data mesh, scales the global train batch by the
+    data axis (per-device batch semantics of DDP), and shards every batch."""
+    import logging
+
+    log = logging.getLogger(__name__)
     if config.get("jax_debug_nans"):
         # debug-mode NaN detection (the jax analogue of torch detect_anomaly,
         # ref configs/trainer/debug.yaml:20)
         jax.config.update("jax_debug_nans", True)
+    # multi-host init (no-op on one host; ref §5.8 / Lightning's implicit NCCL)
+    from dyffusion_tpu.parallel.distributed import init_distributed
+
+    init_distributed()
+    tr_cfg = config.get("trainer", {})
+    mesh = _build_mesh(tr_cfg)
     datamodule = datamodule or get_datamodule(config)
     datamodule.setup()
+    if mesh is not None:
+        # per-device batch semantics: global batch = batch_size x n_data
+        # (ref eff-batch math, config_utils.py:153-166)
+        n_data = int(mesh.shape["data"])
+        datamodule.batch_size = datamodule.batch_size * n_data
+    eff_batch = datamodule.batch_size * tr_cfg.get("accumulate_grad_batches", 1)
+    log.info(
+        "effective batch size: %d (devices=%d, accumulate=%d)",
+        eff_batch,
+        int(mesh.shape["data"]) if mesh is not None else 1,
+        tr_cfg.get("accumulate_grad_batches", 1),
+    )
     exp, model, variables, loss_fn, eval_fns, engine = build_experiment(
         config, datamodule, interpolator=interpolator
     )
     state = create_train_state(config, variables)
     run_id = config.get("run_id") or get_run_id(config)
     run_dir = os.path.join(config.get("registry_dir", "runs"), run_id)
-    tr_cfg = config.get("trainer", {})
     trainer = Trainer(
         experiment=exp,
         datamodule=datamodule,
@@ -321,6 +379,7 @@ def run_experiment(
         val_every_n_epochs=tr_cfg.get("val_every_n_epochs", 1),
         save_checkpoints=tr_cfg.get("save_checkpoints", True),
         early_stopping_patience=tr_cfg.get("early_stopping_patience"),
+        mesh=mesh,
     )
     if trainer.ckpt is not None:
         trainer.ckpt.save_config(config)

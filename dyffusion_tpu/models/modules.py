@@ -8,7 +8,7 @@ them straight onto the MXU as batched matmuls).
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Any, Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -62,7 +62,7 @@ class TimeEmbedder(nn.Module):
         else:
             emb = SinusoidalPosEmb(self.dim)(t)
         emb = nn.Dense(self.time_dim)(emb)
-        emb = nn.gelu(emb)
+        emb = nn.gelu(emb, approximate=False)  # torch nn.GELU() is exact erf
         return nn.Dense(self.time_dim)(emb)
 
 
@@ -142,14 +142,21 @@ class Attention(nn.Module):
 
 
 class PreNormResidual(nn.Module):
-    """x + fn(norm(x)) (ref ``net_norm.py:5-20`` + ``misc.py:8-14``)."""
+    """x + fn(norm(x)) (ref ``net_norm.py:5-20`` + ``misc.py:8-14``).
+
+    The inner module is constructed HERE (class + kwargs) so its parameters
+    live under this module's scope as ``fn`` — passing a pre-built instance
+    would bind it to the parent scope with a construction-order name
+    (LinearAttention_0, ...), which is checkpoint-hostile."""
 
     dim: int
-    fn: Callable
+    fn_cls: Any
+    fn_kwargs: Dict[str, Any]
 
     @nn.compact
     def __call__(self, x: Array, **kwargs) -> Array:
-        return self.fn(ChannelLayerNorm(self.dim)(x), **kwargs) + x
+        fn = self.fn_cls(**self.fn_kwargs, name="fn")
+        return fn(ChannelLayerNorm(self.dim)(x), **kwargs) + x
 
 
 def weight_standardize(kernel: Array, eps: float) -> Array:

@@ -3,11 +3,18 @@
 Capability parity with the reference's 2-D ``unetmore`` path
 (``src/models/mcvd/ncsnpp_more.py:35-447`` plus the layer zoo in
 ``layerspp.py``/``layers.py``): positional or Gaussian-Fourier time embedding,
-BigGAN-style residual blocks with FIR up/down-sampling (GroupNorm variant,
-``layerspp.ResnetBlockBigGANppGN :646``), multi-head channel attention with
-NIN 1x1 projections at configured resolutions (``AttnBlockpp :219-263``),
-optional binary conditional embedding (``cond_emb``, ``ncsnpp_more.py:114-118``),
-skip-rescaling by 1/sqrt(2), and a zero-initialized output conv.
+BigGAN-style residual blocks with FIR up/down-sampling and **AdaGN**
+conditioning (``get_act_norm``, ``layerspp.py:555-645``: GroupNorm without
+affine -> temb-projected scale/shift -> act; block
+``ResnetBlockBigGANppGN :646``), the DDPM-style residual block alternative
+(``ResnetBlockDDPMpp :344``) whose resolution changes go through standalone
+FIR resamplers with **fused** conv+FIR kernels (``layerspp.Upsample/Downsample
+:266-337`` with ``with_conv=True`` -> ``up_or_down_sampling.Conv2d``),
+multi-head channel attention with NIN 1x1 projections at configured
+resolutions (``AttnBlockpp :219-263``), optional binary conditional embedding
+(``cond_emb``, ``ncsnpp_more.py:114-118``), skip-rescaling by 1/sqrt(2), and
+DDPM variance-scaling init incl. the near-zero ``init_scale=0`` output convs
+(``layers.default_init :77-80``).
 
 The (pseudo-)3D variants are intentionally out of scope: their ``layers3d``
 module is absent from the reference snapshot, making only the 2-D path usable
@@ -26,15 +33,30 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from dyffusion_tpu.ops.upfirdn2d import downsample_2d, upsample_2d
+from dyffusion_tpu.ops.upfirdn2d import (
+    conv_downsample_2d,
+    downsample_2d,
+    upsample_2d,
+    upsample_conv_2d,
+)
 
 Array = jnp.ndarray
 
 FIR_KERNEL = (1, 3, 3, 1)
 
 
+def _init(scale: float = 1.0):
+    """DDPM init (ref ``layers.default_init :77-80``): variance_scaling
+    (fan_avg, uniform); scale 0 becomes 1e-10 (near-zero, not exactly zero)."""
+    return nn.initializers.variance_scaling(max(scale, 1e-10), "fan_avg", "uniform")
+
+
 def _groups(ch: int) -> int:
-    return max(min(ch // 4, 32), 1)
+    """min(ch//4, 32) reduced until it divides ch (ref ``get_norm :543-546``)."""
+    g = max(min(ch // 4, 32), 1)
+    while ch % g != 0:
+        g -= 1
+    return g
 
 
 def timestep_embedding(t: Array, dim: int, max_positions: int = 10000) -> Array:
@@ -64,18 +86,45 @@ class GaussianFourierProjection(nn.Module):
         return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
 
 
-def zero_init_conv(features: int, kernel: int, name: str):
-    """3x3/1x1 conv with zero-initialized kernel+bias (ref ``init_scale=0``,
-    ``layers.default_init``)."""
+def ddpm_conv(features: int, kernel: int, name: str, init_scale: float = 1.0):
+    """3x3/1x1 conv with DDPM variance-scaling init (``init_scale=0`` =>
+    near-zero output conv, ref ``layers.ddpm_conv3x3`` + ``default_init``)."""
     return nn.Conv(
         features, (kernel, kernel), padding="SAME",
-        kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros, name=name,
+        kernel_init=_init(init_scale), bias_init=nn.initializers.zeros, name=name,
     )
+
+
+class ActNorm(nn.Module):
+    """norm -> (AdaGN temb conditioning) -> act (ref ``get_act_norm``,
+    ``layerspp.py:555-645``): when conditioned, GroupNorm runs WITHOUT affine
+    params and the scale/shift come from a temb projection
+    (``x = norm(x) * (1 + scale) + shift``, guided-diffusion style)."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self, x: Array, temb: Optional[Array] = None) -> Array:
+        if temb is not None:
+            # eps=1e-5: ref get_norm("group") (layerspp.py:546)
+            h = nn.GroupNorm(
+                num_groups=_groups(self.ch), epsilon=1e-5,
+                use_bias=False, use_scale=False, name="norm",
+            )(x)
+            emb = nn.Dense(
+                2 * self.ch, kernel_init=_init(), bias_init=nn.initializers.zeros,
+                name="dense",
+            )(nn.silu(temb))
+            scale, shift = jnp.split(emb[:, None, None, :], 2, axis=-1)
+            h = h * (1.0 + scale) + shift
+        else:
+            h = nn.GroupNorm(num_groups=_groups(self.ch), epsilon=1e-5, name="norm")(x)
+        return nn.silu(h)
 
 
 class AttnBlockpp(nn.Module):
     """Channel self-attention over spatial tokens with NIN projections
-    (ref ``layerspp.py:219-263``)."""
+    (ref ``layerspp.py:219-263``; GroupNorm eps=1e-6 there)."""
 
     channels: int
     n_head_channels: int = 64
@@ -85,10 +134,10 @@ class AttnBlockpp(nn.Module):
     def __call__(self, x: Array) -> Array:
         B, H, W, C = x.shape
         n_heads = max(C // self.n_head_channels, 1)
-        h = nn.GroupNorm(num_groups=_groups(C), name="norm")(x)
-        q = nn.Dense(C, name="nin_q")(h)
-        k = nn.Dense(C, name="nin_k")(h)
-        v = nn.Dense(C, name="nin_v")(h)
+        h = nn.GroupNorm(num_groups=_groups(C), epsilon=1e-6, name="norm")(x)
+        q = nn.Dense(C, kernel_init=_init(), name="nin_q")(h)
+        k = nn.Dense(C, kernel_init=_init(), name="nin_k")(h)
+        v = nn.Dense(C, kernel_init=_init(), name="nin_v")(h)
         dh = C // n_heads
         q = q.reshape(B, H * W, n_heads, dh)
         k = k.reshape(B, H * W, n_heads, dh)
@@ -96,15 +145,58 @@ class AttnBlockpp(nn.Module):
         sim = jnp.einsum("bihd,bjhd->bhij", q, k) / math.sqrt(dh)
         attn = jax.nn.softmax(sim, axis=-1)
         out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(B, H, W, C)
-        out = nn.Dense(C, kernel_init=nn.initializers.zeros, name="nin_out")(out)
+        out = nn.Dense(C, kernel_init=_init(0.0), name="nin_out")(out)
         if self.skip_rescale:
             return (x + out) / math.sqrt(2.0)
         return x + out
 
 
+class Upsample(nn.Module):
+    """Standalone FIR upsampler (ref ``layerspp.Upsample :266-301``, fir=True):
+    ``with_conv=False`` -> plain FIR upsample; ``with_conv=True`` -> the FUSED
+    transpose-conv + FIR kernel (ref ``up_or_down_sampling.Conv2d`` ->
+    ``upsample_conv_2d :77-139``)."""
+
+    out_ch: Optional[int] = None
+    with_conv: bool = False
+    fir_kernel: Sequence[int] = FIR_KERNEL
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        C = x.shape[-1]
+        out_ch = self.out_ch or C
+        if not self.with_conv:
+            return upsample_2d(x, k=list(self.fir_kernel), factor=2)
+        w = self.param("kernel", _init(), (3, 3, C, out_ch))
+        b = self.param("bias", nn.initializers.zeros, (out_ch,))
+        return upsample_conv_2d(x, w, k=list(self.fir_kernel), factor=2) + b
+
+
+class Downsample(nn.Module):
+    """Standalone FIR downsampler (ref ``layerspp.Downsample :305-337``,
+    fir=True): ``with_conv=True`` -> FUSED FIR + strided conv
+    (``conv_downsample_2d :142-184``)."""
+
+    out_ch: Optional[int] = None
+    with_conv: bool = False
+    fir_kernel: Sequence[int] = FIR_KERNEL
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        C = x.shape[-1]
+        out_ch = self.out_ch or C
+        if not self.with_conv:
+            return downsample_2d(x, k=list(self.fir_kernel), factor=2)
+        w = self.param("kernel", _init(), (3, 3, C, out_ch))
+        b = self.param("bias", nn.initializers.zeros, (out_ch,))
+        return conv_downsample_2d(x, w, k=list(self.fir_kernel), factor=2) + b
+
+
 class ResnetBlockBigGAN(nn.Module):
-    """BigGAN residual block with GroupNorm + FIR resampling
-    (ref ``layerspp.ResnetBlockBigGANppGN :646``)."""
+    """BigGAN residual block with AdaGN + FIR resampling
+    (ref ``layerspp.ResnetBlockBigGANppGN :646-740``): actnorm(x, temb) ->
+    resample h AND x -> conv -> actnorm(h, temb) -> dropout -> near-zero conv
+    -> NIN shortcut -> skip-rescale."""
 
     out_ch: Optional[int] = None
     up: bool = False
@@ -118,21 +210,53 @@ class ResnetBlockBigGAN(nn.Module):
     def __call__(self, x: Array, temb: Optional[Array] = None, deterministic: bool = True) -> Array:
         C = x.shape[-1]
         out_ch = self.out_ch or C
-        h = nn.silu(nn.GroupNorm(num_groups=_groups(C), name="norm1")(x))
+        temb_in = temb if self.use_temb else None
+        h = ActNorm(C, name="actnorm0")(x, temb_in)
         if self.up:
             h = upsample_2d(h, k=list(self.fir_kernel), factor=2)
             x = upsample_2d(x, k=list(self.fir_kernel), factor=2)
         elif self.down:
             h = downsample_2d(h, k=list(self.fir_kernel), factor=2)
             x = downsample_2d(x, k=list(self.fir_kernel), factor=2)
-        h = nn.Conv(out_ch, (3, 3), padding="SAME", name="conv1")(h)
-        if self.use_temb and temb is not None:
-            h = h + nn.Dense(out_ch, name="temb_proj")(nn.silu(temb))[:, None, None, :]
-        h = nn.silu(nn.GroupNorm(num_groups=_groups(out_ch), name="norm2")(h))
+        h = ddpm_conv(out_ch, 3, name="conv1")(h)
+        h = ActNorm(out_ch, name="actnorm1")(h, temb_in)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = zero_init_conv(out_ch, 3, name="conv2")(h)
+        h = ddpm_conv(out_ch, 3, name="conv2", init_scale=0.0)(h)
         if C != out_ch or self.up or self.down:
-            x = nn.Dense(out_ch, name="shortcut")(x)  # NIN 1x1
+            x = nn.Dense(out_ch, kernel_init=_init(), name="shortcut")(x)  # NIN 1x1
+        if self.skip_rescale:
+            return (x + h) / math.sqrt(2.0)
+        return x + h
+
+
+class ResnetBlockDDPM(nn.Module):
+    """DDPM-style residual block (ref ``layerspp.ResnetBlockDDPMpp :344-425``):
+    GroupNorm(eps=1e-6) -> act -> conv -> +Dense(act(temb)) -> GroupNorm ->
+    act -> dropout -> near-zero conv -> NIN shortcut. No internal resampling —
+    resolution changes use the standalone :class:`Upsample`/:class:`Downsample`
+    (which is where the fused conv-resampling kernels run)."""
+
+    out_ch: Optional[int] = None
+    dropout: float = 0.0
+    skip_rescale: bool = True
+    use_temb: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, temb: Optional[Array] = None, deterministic: bool = True) -> Array:
+        C = x.shape[-1]
+        out_ch = self.out_ch or C
+        h = nn.silu(nn.GroupNorm(num_groups=_groups(C), epsilon=1e-6, name="norm1")(x))
+        h = ddpm_conv(out_ch, 3, name="conv1")(h)
+        if self.use_temb and temb is not None:
+            h = h + nn.Dense(
+                out_ch, kernel_init=_init(), bias_init=nn.initializers.zeros,
+                name="temb_proj",
+            )(nn.silu(temb))[:, None, None, :]
+        h = nn.silu(nn.GroupNorm(num_groups=_groups(out_ch), epsilon=1e-6, name="norm2")(h))
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = ddpm_conv(out_ch, 3, name="conv2", init_scale=0.0)(h)
+        if C != out_ch:
+            x = nn.Dense(out_ch, kernel_init=_init(), name="shortcut")(x)  # NIN
         if self.skip_rescale:
             return (x + h) / math.sqrt(2.0)
         return x + h
@@ -145,6 +269,11 @@ class NCSNpp(nn.Module):
     (``SimultaneousMultiHorizonForecasting``): the denoised input carries the
     stacked-horizon frames, ``condition`` carries the stacked window frames
     (+ any static channels), concatenated on the channel axis.
+
+    ``resblock_type``: 'biggan' (the reference's hardcoded default,
+    ``ncsnpp_more.py:88``) resamples inside the residual blocks; 'ddpm' uses
+    :class:`ResnetBlockDDPM` with standalone fused conv-FIR resamplers
+    (``resamp_with_conv=True`` hardcoded at ref ``:79``).
     """
 
     dim: int
@@ -160,6 +289,7 @@ class NCSNpp(nn.Module):
     cond_emb: bool = False
     embedding_type: str = "positional"  # 'positional' | 'fourier'
     skip_rescale: bool = True
+    resblock_type: str = "biggan"  # 'biggan' | 'ddpm'
     spatial_height: int = 32  # all_resolutions derive from this (ref :82)
 
     @nn.compact
@@ -175,6 +305,8 @@ class NCSNpp(nn.Module):
         nf = self.dim
         n_res = len(self.dim_mults)
         all_res = [self.spatial_height // (2**i) for i in range(n_res)]
+        assert self.resblock_type in ("biggan", "ddpm")
+        biggan = self.resblock_type == "biggan"
 
         if condition is not None:
             x = jnp.concatenate([x, condition], axis=-1)
@@ -186,15 +318,16 @@ class NCSNpp(nn.Module):
                 emb = GaussianFourierProjection(nf, name="fourier_emb")(time)
             else:
                 emb = timestep_embedding(time, nf)
-            temb = nn.Dense(nf * 4, name="temb_dense1")(emb)
-            temb = nn.Dense(nf * 4, name="temb_dense2")(nn.silu(temb))
+            temb = nn.Dense(nf * 4, kernel_init=_init(), name="temb_dense1")(emb)
+            temb = nn.Dense(nf * 4, kernel_init=_init(), name="temb_dense2")(nn.silu(temb))
             if self.cond_emb:
                 mask = jnp.zeros((x.shape[0],), jnp.int32) if cond_mask is None else cond_mask.astype(jnp.int32)
                 cemb = nn.Embed(2, nf // 2, name="cond_emb")(mask)
                 temb = jnp.concatenate([temb, cemb], axis=-1)
 
         def rb(name, **kw):
-            return ResnetBlockBigGAN(
+            cls = ResnetBlockBigGAN if biggan else ResnetBlockDDPM
+            return cls(
                 dropout=self.dropout, skip_rescale=self.skip_rescale,
                 use_temb=self.with_time_emb, name=name, **kw,
             )
@@ -203,7 +336,7 @@ class NCSNpp(nn.Module):
             return AttnBlockpp(ch, self.n_head_channels, self.skip_rescale, name=name)
 
         # downsampling
-        h = nn.Conv(nf, (3, 3), padding="SAME", name="conv_in")(x)
+        h = ddpm_conv(nf, 3, name="conv_in")(x)
         hs = [h]
         in_ch = nf
         for i_level in range(n_res):
@@ -215,7 +348,11 @@ class NCSNpp(nn.Module):
                     h = attn(f"down{i_level}_attn{i_block}", in_ch)(h)
                 hs.append(h)
             if i_level != n_res - 1:
-                h = rb(f"down{i_level}_downsample", out_ch=in_ch, down=True)(h, temb, deterministic)
+                if biggan:
+                    h = rb(f"down{i_level}_downsample", out_ch=in_ch, down=True)(h, temb, deterministic)
+                else:
+                    # fused FIR + strided conv (ref Downsample with_conv=True)
+                    h = Downsample(out_ch=in_ch, with_conv=True, name=f"down{i_level}_downsample")(h)
                 hs.append(h)
 
         # middle
@@ -235,8 +372,12 @@ class NCSNpp(nn.Module):
             if all_res[i_level] in self.attn_resolutions:
                 h = attn(f"up{j}_attn", in_ch)(h)
             if i_level != 0:
-                h = rb(f"up{j}_upsample", out_ch=in_ch, up=True)(h, temb, deterministic)
+                if biggan:
+                    h = rb(f"up{j}_upsample", out_ch=in_ch, up=True)(h, temb, deterministic)
+                else:
+                    # fused transpose-conv + FIR (ref Upsample with_conv=True)
+                    h = Upsample(out_ch=in_ch, with_conv=True, name=f"up{j}_upsample")(h)
         assert not hs
 
-        h = nn.silu(nn.GroupNorm(num_groups=_groups(in_ch), name="norm_out")(h))
-        return zero_init_conv(self.num_output_channels, 3, name="conv_out")(h)
+        h = nn.silu(nn.GroupNorm(num_groups=_groups(in_ch), epsilon=1e-6, name="norm_out")(h))
+        return ddpm_conv(self.num_output_channels, 3, name="conv_out", init_scale=0.0)(h)

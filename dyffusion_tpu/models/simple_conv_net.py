@@ -26,18 +26,19 @@ def get_norm(name: str, dim: int, train: bool):
     name = (name or "none").lower()
     if name == "none":
         return lambda x: x
+    # epsilon=1e-5 throughout: the torch norm default (flax defaults to 1e-6)
     if name == "batch_norm":
-        return nn.BatchNorm(use_running_average=not train, momentum=0.9, name=None)
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name=None)
     if name == "layer_norm":
-        return nn.LayerNorm()
+        return nn.LayerNorm(epsilon=1e-5)
     if "group" in name:
         groups = max((dim // n for n in range(2, 17) if dim % n == 0), default=None)
         if groups is None:
             raise ValueError(f"group norm cannot infer groups for dim={dim}")
-        return nn.GroupNorm(num_groups=groups)
+        return nn.GroupNorm(num_groups=groups, epsilon=1e-5)
     if "instance" in name:
         # instance norm == group norm with one group per channel
-        return nn.GroupNorm(num_groups=dim)
+        return nn.GroupNorm(num_groups=dim, epsilon=1e-5)
     raise ValueError(f"Unknown normalization: {name}")
 
 
@@ -74,7 +75,7 @@ class ConvBlock(nn.Module):
             emb = nn.Dense(self.dim_out * 2, name="time_mlp")(nn.silu(time_emb))[:, None, None, :]
             scale, shift = jnp.split(emb, 2, axis=-1)
             h = h * (scale + 1.0) + shift
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # torch nn.GELU() is exact erf
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         if self.residual and res.shape[-1] == self.dim_out:

@@ -51,7 +51,8 @@ class ResnetBlock(nn.Module):
             scale_shift = jnp.split(emb, 2, axis=-1)
 
         h = WSConv(self.dim_out, name="block1_conv")(x)
-        h = nn.GroupNorm(num_groups=self.groups, name="block1_norm")(h)
+        # epsilon=1e-5: torch nn.GroupNorm default (flax defaults to 1e-6)
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="block1_norm")(h)
         if scale_shift is not None:
             scale, shift = scale_shift
             h = h * (scale + 1.0) + shift
@@ -60,7 +61,7 @@ class ResnetBlock(nn.Module):
 
         if self.double_conv_layer:
             h = WSConv(self.dim_out, name="block2_conv")(h)
-            h = nn.GroupNorm(num_groups=self.groups, name="block2_norm")(h)
+            h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="block2_norm")(h)
             h = nn.silu(h)
             h = nn.Dropout(self.dropout2)(h, deterministic=deterministic)
 
@@ -176,8 +177,9 @@ class Unet(nn.Module):
         def lin_attn(dim, name):
             return PreNormResidual(
                 dim,
-                LinearAttention(
-                    dim,
+                LinearAttention,
+                dict(
+                    dim=dim,
                     heads=self.attn_heads,
                     dim_head=self.attn_dim_head,
                     dropout=self.attn_dropout,
@@ -203,7 +205,8 @@ class Unet(nn.Module):
         x = res_block(mid_dim, "mid_block1")(x, t, deterministic)
         x = PreNormResidual(
             mid_dim,
-            Attention(mid_dim, heads=self.attn_heads, dim_head=self.attn_dim_head, dropout=self.attn_dropout),
+            Attention,
+            dict(dim=mid_dim, heads=self.attn_heads, dim_head=self.attn_dim_head, dropout=self.attn_dropout),
             name="mid_attn",
         )(x, deterministic=deterministic)
         x = res_block(mid_dim, "mid_block2")(x, t, deterministic)

@@ -25,6 +25,16 @@ Array = jnp.ndarray
 
 RELU_LEAK = 0.2
 
+# DCGAN-style init (ref ``unet_simple.py:156-162``): conv weights ~ N(0, 0.02),
+# BatchNorm scale ~ N(1, 0.02) with zero bias. Applied to every conv /
+# transpose-conv / BatchNorm of this model (the reference's ``__init_weights``
+# module walk).
+DCGAN_CONV_INIT = nn.initializers.normal(stddev=0.02)
+
+
+def _dcgan_bn_scale_init(key, shape, dtype=jnp.float32):
+    return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
+
 
 class UNetBlock(nn.Module):
     """One encoder or decoder block (ref ``unet_simple.py:13-82``)."""
@@ -52,6 +62,7 @@ class UNetBlock(nn.Module):
                 (self.size, self.size),
                 strides=(2, 2),
                 padding=((self.pad, self.pad), (self.pad, self.pad)),
+                kernel_init=DCGAN_CONV_INIT,
                 name="conv",
             )(x)
         else:
@@ -63,12 +74,16 @@ class UNetBlock(nn.Module):
                 (k, k),
                 strides=(1, 1),
                 padding=((self.pad, self.pad), (self.pad, self.pad)),
+                kernel_init=DCGAN_CONV_INIT,
                 name="conv",
             )(x)
         if self.bn:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="norm")(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                scale_init=_dcgan_bn_scale_init, name="norm",
+            )(x)
         else:
-            x = nn.GroupNorm(num_groups=8, name="norm")(x)
+            x = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="norm")(x)
         if self.use_time_emb and time_emb is not None:
             emb = nn.Dense(self.dim_out * 2, name="time_mlp")(nn.silu(time_emb))[:, None, None, :]
             scale, shift = jnp.split(emb, 2, axis=-1)
@@ -115,7 +130,7 @@ class UNetSimple(nn.Module):
                 x, (x.shape[0], *self.upsample_dims, x.shape[-1]), method=self.outer_sample_mode
             )
 
-        x = nn.Conv(self.dim, (1, 1), name="init_conv")(x)
+        x = nn.Conv(self.dim, (1, 1), kernel_init=DCGAN_CONV_INIT, name="init_conv")(x)
         if self.input_dropout > 0:
             x = nn.Dropout(self.input_dropout)(x, deterministic=deterministic)
 
@@ -151,7 +166,8 @@ class UNetSimple(nn.Module):
 
         # readout: transpose-conv k4 s2 p1 == exact x2 upsample (ref ``:141-151``)
         x = nn.ConvTranspose(
-            self.num_output_channels, (4, 4), strides=(2, 2), padding="SAME", name="readout"
+            self.num_output_channels, (4, 4), strides=(2, 2), padding="SAME",
+            kernel_init=DCGAN_CONV_INIT, name="readout",
         )(x)
 
         if self.upsample_dims is not None:

@@ -6,16 +6,21 @@ Replaces the reference's PyTorch-Lightning loop (``pl.Trainer.fit`` +
 functional loop:
 
 - ONE jitted ``train_step`` (value_and_grad over params, optax update, EMA
-  update) with donated state — params/opt/EMA stay resident in HBM;
+  update) with donated state — params/opt/EMA stay resident in HBM; losses
+  accumulate as device scalars (no per-step host sync: the loop stays ahead
+  of the device, host round-trips happen only at log points);
 - an ensemble eval loop whose per-batch work (sampler + MC-dropout members)
-  is a single jitted function; epoch-end CRPS/SSR/MSE aggregation mirrors
-  ``_eval_ensemble_predictions`` (``:617-640``);
+  is a single jitted function; metrics STREAM — per-batch masked partial sums
+  (MSE/CRPS/SSR) reduce on-device so predictions never accumulate in host RAM
+  (the reference concatenates all step outputs, ``:569-598``);
+- eval batches are padded to one fixed shape (remainder batches would
+  otherwise recompile the sampler graph — minutes per shape on TPU);
 - best-by-monitor + last checkpointing, resume, and step/epoch wall-clock
   telemetry (``time/train/step`` etc., ref ``:453-465``).
 
-Data parallelism: params replicated, batch sharded over the 'data' mesh axis
-via ``dyffusion_tpu.parallel`` (jit + sharding constraints — XLA inserts the
-gradient all-reduce).
+Data parallelism (the reference's DDP, ``configs/trainer/ddp.yaml:5``): pass a
+``Mesh`` — the train state is replicated, every train/eval batch is sharded
+over the 'data' axis, and XLA inserts the gradient all-reduce (psum over ICI).
 """
 from __future__ import annotations
 
@@ -29,7 +34,7 @@ import numpy as np
 
 from dyffusion_tpu.training.checkpoint import CheckpointManager
 from dyffusion_tpu.training.state import TrainState
-from dyffusion_tpu.utils.evaluation import evaluate_ensemble_prediction
+from dyffusion_tpu.parallel.mesh import batch_sharding, shard_train_state
 
 
 def make_train_step(loss_fn: Callable, grad_clip_metrics: bool = True):
@@ -64,6 +69,48 @@ def make_train_step(loss_fn: Callable, grad_clip_metrics: bool = True):
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def _make_metric_sums():
+    """Jitted per-batch partial sums for the streaming ensemble metrics.
+
+    Given preds (m, B, *dims), targets (B, *dims) and a validity mask (B,)
+    marking non-padded rows, returns masked element sums {n, sq, var, crps}
+    whose ratios reproduce ``evaluate_ensemble_prediction`` exactly:
+    mse = sq/n, crps = crps/n, ssr = sqrt(var/n)/sqrt(sq/n). CRPS uses the
+    O(m log m) sorted estimator (``utils/evaluation.py:52-69``).
+    """
+
+    @jax.jit
+    def metric_sums(preds, targets, valid):
+        preds = preds.astype(jnp.float32)
+        targets = targets.astype(jnp.float32)
+        m, B = preds.shape[0], preds.shape[1]
+        per_row = float(np.prod(targets.shape[1:])) if targets.ndim > 1 else 1.0
+        mask = valid.reshape((B,) + (1,) * (targets.ndim - 1)).astype(jnp.float32)
+        n = jnp.sum(valid.astype(jnp.float32)) * per_row
+        mean_preds = jnp.mean(preds, axis=0)
+        sq = jnp.sum((mean_preds - targets) ** 2 * mask)
+        var = jnp.sum(jnp.var(preds, axis=0) * mask)
+        x = jnp.sort(preds, axis=0)
+        skill = jnp.mean(jnp.abs(x - targets[None]), axis=0)
+        i = jnp.arange(1, m + 1).reshape((m,) + (1,) * targets.ndim)
+        spread = jnp.sum(x * (2 * i - m - 1), axis=0) / (m * m)
+        crps = jnp.sum((skill - spread) * mask)
+        return {"n": n, "sq": sq, "var": var, "crps": crps}
+
+    return metric_sums
+
+
+def _pad_batch(batch: Dict[str, np.ndarray], target: int):
+    """Pad a host batch to ``target`` rows by repeating the last row; returns
+    (padded_batch, n_valid). Keeps every eval batch at ONE compile shape."""
+    n = int(next(iter(batch.values())).shape[0])
+    if n == target:
+        return batch, n
+    assert n < target, f"batch of {n} rows exceeds pad target {target}"
+    pad_idx = np.concatenate([np.arange(n), np.full(target - n, n - 1, dtype=np.int64)])
+    return {k: np.asarray(v)[pad_idx] for k, v in batch.items()}, n
+
+
 class Trainer:
     """Minimal functional trainer (the L0/L2 glue of SURVEY.md §1)."""
 
@@ -84,12 +131,17 @@ class Trainer:
         save_checkpoints: bool = True,
         log_fn: Optional[Callable[[Dict[str, float], int], None]] = None,
         early_stopping_patience: Optional[int] = None,
+        mesh=None,
     ):
         self.experiment = experiment
         self.datamodule = datamodule
-        self.state = state
+        self.mesh = mesh
+        self._batch_shard = batch_sharding(mesh) if mesh is not None else None
+        self._n_data = int(mesh.shape["data"]) if mesh is not None else 1
+        self.state = shard_train_state(state, mesh) if mesh is not None else state
         self.train_step = make_train_step(loss_fn)
         self.eval_fns = {k: jax.jit(v) for k, v in eval_fns.items()}
+        self._metric_sums = _make_metric_sums()
         self.max_epochs = max_epochs
         self.max_steps = max_steps
         self.seed = seed
@@ -105,8 +157,17 @@ class Trainer:
         self.early_stopping_patience = early_stopping_patience
         self._epochs_without_improvement = 0
         self.monitor_mode = monitor_mode
+        # per-horizon metric curves from the last test evaluation (consumed by
+        # the test-end line-plot logging, ref forecasting_multi_horizon.py:262-279)
+        self.last_eval_curves: Dict[str, Dict[str, list]] = {}
 
     # ------------------------------------------------------------------
+    def _put(self, batch: Dict[str, Any]) -> Dict[str, Any]:
+        """Host batch -> device, sharded over the data axis when on a mesh."""
+        if self._batch_shard is not None:
+            return {k: jax.device_put(np.asarray(v), self._batch_shard) for k, v in batch.items()}
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
     def _state_tree(self):
         s = self.state
         return {
@@ -129,6 +190,8 @@ class Trainer:
             opt_state=tree["opt_state"],
             rng=jax.random.wrap_key_data(jnp.asarray(tree["rng"])),
         )
+        if self.mesh is not None:
+            self.state = shard_train_state(self.state, self.mesh)
 
     def maybe_resume(self, slot: str = "last") -> bool:
         """Resume from 'last' (training) or 'best' (test-mode reload)
@@ -146,30 +209,41 @@ class Trainer:
         best = np.nan
         step = int(self.state.step)
         done = False
-        def _to_device(batch):
-            return {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.mesh is not None:
+            assert self.datamodule.batch_size % self._n_data == 0, (
+                f"train batch_size {self.datamodule.batch_size} must divide over "
+                f"{self._n_data} data-parallel devices"
+            )
 
         for epoch in range(self.max_epochs):
             epoch_start = time.time()
-            n_batches, loss_sum = 0, 0.0
+            n_batches = 0
+            loss_parts: List[jax.Array] = []  # device scalars; synced once per epoch
+            t_log, step_at_log = time.time(), step
             # prefetching loader: native batch gather + background device
             # staging, overlapping host assembly with the jitted step
-            for batch in self.datamodule.train_loader(rng=self._np_rng, device_put=_to_device):
-                t0 = time.time()
+            for batch in self.datamodule.train_loader(rng=self._np_rng, device_put=self._put):
                 self.state, metrics = self.train_step(self.state, batch)
-                loss_sum += float(metrics["loss"])
+                loss_parts.append(metrics["loss"])
                 n_batches += 1
                 step += 1
                 if step % 50 == 0:
+                    now = time.time()
                     self.log_fn(
-                        {"train/loss": float(metrics["loss"]), "time/train/step": time.time() - t0},
+                        {
+                            # this float() is the ONLY host sync in the window
+                            "train/loss": float(metrics["loss"]),
+                            "time/train/step": (now - t_log) / max(step - step_at_log, 1),
+                        },
                         step,
                     )
+                    t_log, step_at_log = time.time(), step
                 if self.max_steps and step >= self.max_steps:
                     done = True
                     break
+            loss_epoch = float(np.sum(jax.device_get(loss_parts))) / max(n_batches, 1) if loss_parts else 0.0
             epoch_metrics = {
-                "train/loss_epoch": loss_sum / max(n_batches, 1),
+                "train/loss_epoch": loss_epoch,
                 "time/train": time.time() - epoch_start,
                 "epoch": epoch,
             }
@@ -201,64 +275,145 @@ class Trainer:
         return float(best) if np.isfinite(best) else float("nan")
 
     # ------------------------------------------------------------------
-    def evaluate(self, split: str = "val", autoregressive: Optional[bool] = None) -> Dict[str, float]:
-        """Ensemble evaluation over a split; returns {split/t{i}/mse,
-        split/avg/mse, split/crps, split/ssr, split/mse} mirroring the
-        reference metric grammar (``_base_experiment.py:609-640``)."""
-        eval_fn = self.eval_fns[split]
-        batches = {
+    def _eval_batches(self, split: str):
+        return {
             "val": self.datamodule.val_batches,
             "test": self.datamodule.test_batches,
             "predict": self.datamodule.predict_batches,
         }[split]()
+
+    def _pad_target(self, first_batch: Dict[str, np.ndarray]) -> int:
+        """Fixed eval batch shape: first (largest) batch size rounded up to a
+        multiple of the data-parallel axis."""
+        b0 = int(next(iter(first_batch.values())).shape[0])
+        return -(-b0 // self._n_data) * self._n_data
+
+    def evaluate(self, split: str = "val", autoregressive: Optional[bool] = None) -> Dict[str, float]:
+        """Streaming ensemble evaluation over a split; returns {split/t{i}/mse,
+        split/avg/mse, split/crps, split/ssr, split/mse} mirroring the
+        reference metric grammar (``_base_experiment.py:609-640``). Host memory
+        is O(1) in the number of batches: per-batch partial sums reduce
+        on-device (replacing the all-predictions concat of ``:569-598``)."""
+        eval_fn = self.eval_fns[split]
+        batches = iter(self._eval_batches(split))
         eval_rng = jax.random.key(self.seed + {"val": 1, "test": 2, "predict": 3}[split])
 
-        acc: Dict[str, List[np.ndarray]] = defaultdict(list)
+        try:
+            first = next(batches)
+        except StopIteration:
+            return {}
+        target_B = self._pad_target(first)
+
+        # per-t device partial sums (lazy adds; one host sync at the end)
+        sums: Dict[str, Dict[str, jax.Array]] = {}
+        n_frames = 0
         variables = self.state.eval_variables()
         sample_start = time.time()
-        for bi, batch in enumerate(batches):
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            out = eval_fn(variables, batch, jax.random.fold_in(eval_rng, bi))
-            for k, v in out.items():
-                acc[k].append(np.asarray(v))
-        sampling_time = time.time() - sample_start
+        import itertools
 
-        # concat over batches: preds on axis 1 (member axis leads), targets axis 0
-        results: Dict[str, np.ndarray] = {}
-        for k, vs in acc.items():
-            axis = 1 if k.endswith("_preds") else 0
-            results[k] = np.concatenate(vs, axis=axis)
+        for bi, batch in enumerate(itertools.chain([first], batches)):
+            batch, n_valid = _pad_batch(batch, target_B)
+            batch = self._put(batch)
+            out = eval_fn(variables, batch, jax.random.fold_in(eval_rng, bi))
+            valid_host = np.arange(target_B) < n_valid
+            valid = (
+                jax.device_put(valid_host, self._batch_shard)
+                if self._batch_shard is not None
+                else jnp.asarray(valid_host)
+            )
+            for k, v in out.items():
+                if not k.endswith("_preds"):
+                    continue
+                prefix = k[: -len("_preds")]
+                tkey = f"{prefix}_targets"
+                if tkey not in out:
+                    continue
+                part = self._metric_sums(v, out[tkey], valid)
+                if prefix in sums:
+                    sums[prefix] = {m: sums[prefix][m] + part[m] for m in part}
+                else:
+                    sums[prefix] = part
+                n_frames += v.shape[0] * n_valid
+        # one sync for the whole split
+        sums_host = jax.device_get(sums)
+        sampling_time = time.time() - sample_start
 
         metrics: Dict[str, float] = {}
         per_metric_values = defaultdict(list)
-        for k in sorted(results):
-            if not k.endswith("_preds"):
-                continue
-            prefix = k[: -len("_preds")]
-            tkey = f"{prefix}_targets"
-            if tkey not in results:
-                continue
-            m = evaluate_ensemble_prediction(results[k], results[tkey])
-            for name, v in m.items():
-                metrics[f"{split}/{prefix}/{name}"] = float(v)
-                per_metric_values[name].append(float(v))
+        curves: Dict[str, Dict[str, list]] = defaultdict(lambda: {"t": [], "value": []})
+        for prefix in sorted(sums_host, key=lambda p: (len(p), p)):
+            s = sums_host[prefix]
+            n = max(float(s["n"]), 1.0)
+            mse = float(s["sq"]) / n
+            crps = float(s["crps"]) / n
+            ssr = float(np.sqrt(float(s["var"]) / n) / np.sqrt(mse)) if mse > 0 else float("nan")
+            for name, v in (("mse", mse), ("crps", crps), ("ssr", ssr)):
+                metrics[f"{split}/{prefix}/{name}"] = v
+                per_metric_values[name].append(v)
+                if prefix.startswith("t") and prefix[1:].isdigit():
+                    curves[name]["t"].append(int(prefix[1:]))
+                    curves[name]["value"].append(v)
         for name, vals in per_metric_values.items():
             metrics[f"{split}/avg/{name}"] = float(np.mean(vals))
         # canonical short names (monitor targets)
         for name in ("crps", "mse", "ssr"):
             if f"{split}/avg/{name}" in metrics:
                 metrics[f"{split}/{name}"] = metrics[f"{split}/avg/{name}"]
+        self.last_eval_curves = dict(curves)
         # sampler throughput as a first-class metric (SURVEY.md §5.1 / the
         # BASELINE.md north-star quantity): ensemble-member frames per second
         # per chip produced by the eval sampler
-        n_frames = sum(
-            v.shape[0] * v.shape[1] for k, v in results.items() if k.endswith("_preds")
-        )
         if n_frames and sampling_time > 0:
             metrics[f"{split}/frames_per_sec_per_chip"] = n_frames / sampling_time / max(
                 1, jax.device_count()
             )
         return metrics
 
-    def test(self) -> Dict[str, float]:
-        return self.evaluate("test")
+    def predict(self, split: str = "predict") -> Dict[str, np.ndarray]:
+        """Raw ensemble predictions for a split, concatenated over batches
+        (the reference's ``predict_step`` path, ``_base_experiment.py:700``).
+        Unlike :meth:`evaluate` this DOES materialize predictions on host."""
+        eval_fn = self.eval_fns[split]
+        eval_rng = jax.random.key(self.seed + {"val": 1, "test": 2, "predict": 3}[split])
+        batches = iter(self._eval_batches(split))
+        try:
+            first = next(batches)
+        except StopIteration:
+            return {}
+        target_B = self._pad_target(first)
+        variables = self.state.eval_variables()
+        acc: Dict[str, List[np.ndarray]] = defaultdict(list)
+        import itertools
+
+        for bi, batch in enumerate(itertools.chain([first], batches)):
+            batch, n_valid = _pad_batch(batch, target_B)
+            batch = self._put(batch)
+            out = eval_fn(variables, batch, jax.random.fold_in(eval_rng, bi))
+            for k, v in out.items():
+                v = np.asarray(v)
+                acc[k].append(v[:, :n_valid] if k.endswith("_preds") else v[:n_valid])
+        return {
+            k: np.concatenate(vs, axis=1 if k.endswith("_preds") else 0)
+            for k, vs in acc.items()
+        }
+
+    def test(self, save_curves: bool = True) -> Dict[str, float]:
+        """Test evaluation + auto-persisted per-horizon metric curves (the
+        reference emits per-timestep line plots at test-epoch end,
+        ``forecasting_multi_horizon.py:262-279`` ->
+        ``wandb_callbacks.save_arrays_as_line_plot:102-150``)."""
+        metrics = self.evaluate("test")
+        if save_curves and self.ckpt is not None and self.last_eval_curves:
+            from dyffusion_tpu.utils.logging import save_arrays_as_line_plot
+
+            for name, curve in self.last_eval_curves.items():
+                if not curve["t"]:
+                    continue
+                order = np.argsort(curve["t"])
+                save_arrays_as_line_plot(
+                    self.ckpt.run_dir,
+                    np.asarray(curve["t"])[order],
+                    {name: np.asarray(curve["value"])[order]},
+                    key_stem=f"test_{name}",
+                )
+        return metrics

@@ -1,0 +1,116 @@
+"""Import pieces of the PyTorch reference (/root/reference) for golden
+numeric-parity tests.
+
+The reference's modules import ``pytorch_lightning``/``omegaconf``/
+``tensordict``/``wandb`` at module level, none of which are installed here —
+only the pieces they actually use at test time are stubbed. NOTHING from the
+reference is copied into this repo; the reference code is loaded read-only at
+test time and compared against our independent implementation.
+"""
+from __future__ import annotations
+
+import importlib.util
+import inspect
+import sys
+import types
+
+REF_ROOT = "/root/reference"
+
+
+def load_standalone(name: str, path: str):
+    """Load a reference module that only needs torch/numpy/einops."""
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _install_stubs():
+    import torch.nn as nn
+
+    if "omegaconf" not in sys.modules:
+        om = types.ModuleType("omegaconf")
+
+        class DictConfig(dict):
+            pass
+
+        class OmegaConf:
+            @staticmethod
+            def create(x=None):
+                return x or {}
+
+            @staticmethod
+            def to_container(x, **kw):
+                return dict(x)
+
+        om.DictConfig = DictConfig
+        om.OmegaConf = OmegaConf
+        sys.modules["omegaconf"] = om
+
+    if "pytorch_lightning" not in sys.modules:
+        pl = types.ModuleType("pytorch_lightning")
+
+        class _HParams(dict):
+            """dict + attribute access (what the reference touches on
+            ``self.hparams``: attributes, ``.get`` and ``in``)."""
+
+            def __getattr__(self, k):
+                try:
+                    return self[k]
+                except KeyError:
+                    raise AttributeError(k)
+
+        class LightningModule(nn.Module):
+            """Just enough LightningModule for BaseModel/BaseDiffusion:
+            frame-inspecting ``save_hyperparameters`` + attribute-style
+            ``hparams`` (what the reference actually touches)."""
+
+            def save_hyperparameters(self, *args, ignore=None, **kw):
+                f = inspect.currentframe().f_back
+                code = f.f_code
+                arg_names = code.co_varnames[1 : code.co_argcount]
+                captured = {n: f.f_locals.get(n) for n in arg_names}
+                captured.update(f.f_locals.get("kwargs") or {})
+                for ig in ignore or []:
+                    captured.pop(ig, None)
+                merged = dict(getattr(self, "_stub_hparams", {}))
+                merged.update(captured)
+                object.__setattr__(self, "_stub_hparams", merged)
+
+            @property
+            def hparams(self):
+                return _HParams(getattr(self, "_stub_hparams", {}))
+
+        pl.LightningModule = LightningModule
+        util = types.ModuleType("pytorch_lightning.utilities")
+
+        def rank_zero_only(fn):
+            return fn
+
+        rank_zero_only.rank = 0
+        util.rank_zero_only = rank_zero_only
+        pl.utilities = util
+        sys.modules["pytorch_lightning"] = pl
+        sys.modules["pytorch_lightning.utilities"] = util
+
+    if "tensordict" not in sys.modules:
+        td = types.ModuleType("tensordict")
+
+        class TensorDict(dict):
+            pass
+
+        td.TensorDict = TensorDict
+        sys.modules["tensordict"] = td
+
+    if "wandb" not in sys.modules:
+        wb = types.ModuleType("wandb")
+        wb.run = None
+        sys.modules["wandb"] = wb
+
+
+def import_reference(module: str):
+    """Import ``src.<module>`` from the reference tree with stubs installed."""
+    _install_stubs()
+    if REF_ROOT not in sys.path:
+        sys.path.insert(0, REF_ROOT)
+    return importlib.import_module(module)

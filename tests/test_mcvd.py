@@ -51,8 +51,35 @@ def test_ncsnpp_forward_shape_and_zero_init(ncsnpp_setup):
     model, variables, x, cond, t = ncsnpp_setup
     y = model.apply(variables, x, time=t, condition=cond)
     assert y.shape == (2, 16, 16, 2)
-    # zero-initialized output conv => exact zeros at init (ref init_scale=0)
-    np.testing.assert_allclose(np.asarray(y), 0.0)
+    # near-zero output conv at init (ref init_scale=0 -> default_init(1e-10),
+    # layers.py:77-80 — variance 1e-10, not exact zeros)
+    np.testing.assert_allclose(np.asarray(y), 0.0, atol=1e-3)
+    # AdaGN conditioning params exist in the BigGAN blocks (ref get_act_norm)
+    assert "dense" in variables["params"]["mid_block1"]["actnorm0"]
+
+
+def test_ncsnpp_ddpm_resblock_path_with_fused_resampling():
+    """resblock_type='ddpm' routes resolution changes through the standalone
+    FIR resamplers with FUSED conv kernels (ref layerspp.Upsample/Downsample
+    with_conv=True -> up_or_down_sampling.Conv2d)."""
+    model = NCSNpp(
+        dim=16, num_input_channels=2, num_output_channels=2,
+        num_conditional_channels=1, dim_mults=(1, 2), num_res_blocks=1,
+        attn_resolutions=(8,), n_head_channels=16, spatial_height=16,
+        resblock_type="ddpm",
+    )
+    x = jnp.ones((2, 16, 16, 2))
+    cond = jnp.zeros((2, 16, 16, 1))
+    t = jnp.array([3.0, 7.0])
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.key(0)}, x, time=t, condition=cond)
+    )()
+    # fused resampler conv kernels present
+    assert variables["params"]["down0_downsample"]["kernel"].shape == (3, 3, 16, 16)
+    assert variables["params"]["up0_upsample"]["kernel"].shape == (3, 3, 32, 32)
+    y = model.apply(variables, x, time=t, condition=cond)
+    assert y.shape == (2, 16, 16, 2)
+    assert bool(jnp.all(jnp.isfinite(y)))
 
 
 def test_ncsnpp_time_sensitivity_after_perturbation(ncsnpp_setup):

@@ -66,6 +66,10 @@ def test_datamodule_builds_splits_with_metadata(spring_root):
     assert batch["condition"].shape == (4, 10, 10, 1)
     assert batch["metadata_fixed_mask"].dtype == bool
     assert batch["metadata_base_q"].shape == (4, 10, 10, 2)
+    # test batches are single full trajectories (ref
+    # physical_systems_benchmark.py:50: test_batch_size = 1)
+    test_batch = next(iter(dm.test_batches()))
+    assert test_batch["dynamics"].shape[0] == 1
 
 
 def test_spring_mesh_boundary_conditions(spring_root):

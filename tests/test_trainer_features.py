@@ -73,6 +73,15 @@ def test_test_mode_reload_runs_test_ensemble(tmp_path):
     run_id = os.path.basename(trainer.ckpt.run_dir)
     metrics = reload_and_test(str(tmp_path), run_id)
     assert "test/crps" in metrics and np.isfinite(metrics["test/crps"])
+    # test-end auto-persists per-horizon metric curves
+    # (ref forecasting_multi_horizon.py:262-279)
+    import glob
+    import json
+
+    curves = glob.glob(os.path.join(trainer.ckpt.run_dir, "curves", "test_*.json"))
+    assert curves, "expected per-horizon curve tables after mode=test"
+    table = json.load(open(curves[0]))
+    assert "horizon" in table and len(table["horizon"]) >= 1
 
 
 def test_cli_test_mode(tmp_path):
