@@ -370,3 +370,269 @@ def anneal_langevin_dynamics(
         t_b = jnp.full((B,), L - 1, jnp.float32)
         x = x + sigmas[-1] ** 2 * (-scorenet_apply(variables, x, t_b, condition, None) / sigmas[-1])
     return x
+
+
+def sparse_anneal_langevin_dynamics(
+    scorenet_apply,
+    variables,
+    rng,
+    x_init: Array,
+    sparsity: Array,
+    condition: Array,
+    sigmas: Array,
+    n_steps_each: int = 1,
+    step_lr: float = 8e-6,
+    denoise: bool = True,
+    frac_steps: Optional[float] = None,
+) -> Array:
+    """Sparse annealed Langevin (ref ``sparse_anneal_Langevin_dynamics
+    :517-621``): a dense chain ``x`` drives the scorenet while the sparse
+    chain gets grad/sparsity and noise*sparsity updates. The scorenet output
+    is the z-prediction (ref update ``x - step/sigma * z``)."""
+    B = x_init.shape[0]
+    sigmas_np = np.asarray(sigmas, np.float64)
+    if frac_steps is not None:
+        sigmas_np = sigmas_np[int((1 - frac_steps) * len(sigmas_np)):]
+    L = len(sigmas_np)
+    sigmas = jnp.asarray(sigmas_np, jnp.float32)
+    sparsity = jnp.asarray(sparsity, jnp.float32)
+
+    def level_body(carry, inp):
+        x, x_sparse = carry
+        c, key = inp
+        sigma = sigmas[c]
+        step_size = step_lr * (sigma / sigmas[-1]) ** 2
+
+        def step_body(carry, k):
+            x, x_sparse = carry
+            t_b = jnp.full((B,), c, jnp.float32)
+            grad = scorenet_apply(variables, x, t_b, condition, None)
+            noise = jax.random.normal(k, x.shape)
+            x = x - step_size / sigma * grad + jnp.sqrt(2.0 * step_size) * noise
+            x_sparse = (
+                x_sparse
+                - step_size / sigma * (grad / sparsity)
+                + jnp.sqrt(2.0 * step_size) * (sparsity * noise)
+            )
+            return (x, x_sparse), None
+
+        keys = jax.random.split(key, n_steps_each)
+        carry, _ = jax.lax.scan(step_body, (x, x_sparse), keys)
+        return carry, None
+
+    keys = jax.random.split(rng, L)
+    (x, x_sparse), _ = jax.lax.scan(level_body, (x_init, jnp.array(x_init)), (jnp.arange(L), keys))
+    if denoise:
+        t_b = jnp.full((B,), L - 1, jnp.float32)
+        x_sparse = x_sparse - sigmas[-1] * sparsity * scorenet_apply(variables, x, t_b, condition, None)
+    return x_sparse
+
+
+def anneal_langevin_dynamics_consistent(
+    scorenet_apply,
+    variables,
+    rng,
+    x_init: Array,
+    condition: Array,
+    sigmas: Array,
+    n_steps_each: int = 1,
+    step_lr: float = 8e-6,
+    denoise: bool = True,
+) -> Array:
+    """Consistent annealed sampling (CAS; ref
+    ``anneal_Langevin_dynamics_consistent :622-737``): a geometric sigma
+    ladder of (L-1)*n_steps+1 levels; per level
+    ``x -= eta * sigma_c * z`` then ``x += beta * sigma_next * noise`` with
+    ``beta = sqrt(1 - (gamma (1-eta))^2)``. The scorenet is conditioned on the
+    CONTINUOUS sigma value (passed as the time argument; ref
+    ``y_is_label=False``)."""
+    B = x_init.shape[0]
+    sigmas_np = np.asarray(sigmas, np.float64)
+    L = len(sigmas_np)
+    ladder = np.geomspace(sigmas_np[0], sigmas_np[-1], (L - 1) * n_steps_each + 1)
+    smallest_invgamma = ladder[-1] / ladder[-2]
+    lowerbound = sigmas_np[-1] ** 2 * (1 - smallest_invgamma)
+    higherbound = sigmas_np[-1] ** 2 * (1 + smallest_invgamma)
+    assert lowerbound < step_lr < higherbound, (
+        f"consistent sampling needs {lowerbound} < step_lr < {higherbound}, got {step_lr}"
+    )
+    eta = step_lr / float(sigmas_np[-1] ** 2)
+    # per-level (sigma_c, sigma_next, gamma); last level keeps x unchanged
+    sig_c = ladder
+    sig_next = np.concatenate([ladder[1:], [ladder[-1]]])
+    gamma = sig_c / sig_next
+    beta = np.sqrt(np.clip(1.0 - (gamma * (1.0 - eta)) ** 2, 0.0, None))
+    n = len(ladder)
+
+    xs = (
+        jnp.asarray(sig_c, jnp.float32),
+        jnp.asarray(sig_next, jnp.float32),
+        jnp.asarray(beta, jnp.float32),
+        jnp.arange(n),
+    )
+
+    def body(x, inp):
+        s_c, s_next, b, i = inp
+        t_b = jnp.full((B,), s_c)  # continuous sigma conditioning
+        grad = scorenet_apply(variables, x, t_b, condition, None)
+        x = x - eta * s_c * grad
+        noise = jax.random.normal(jax.random.fold_in(rng, i), x.shape)
+        x = jnp.where(i + 1 < n, x + b * s_next * noise, x)  # no noise at last level
+        return x, None
+
+    x, _ = jax.lax.scan(body, x_init, xs)
+    if denoise:
+        t_b = jnp.full((B,), float(sigmas_np[-1]))
+        x = x - sigmas_np[-1] * scorenet_apply(variables, x, t_b, condition, None)
+    return x
+
+
+def sparse_anneal_langevin_dynamics_consistent(
+    scorenet_apply,
+    variables,
+    rng,
+    x_init: Array,
+    sparsity: Array,
+    condition: Array,
+    sigmas: Array,
+    n_steps_each: int = 1,
+    step_lr: float = 8e-6,
+    denoise: bool = True,
+) -> Array:
+    """Sparse variant of CAS (ref ``sparse_anneal_Langevin_dynamics_consistent
+    :738-857``): the dense chain drives the scorenet; the sparse chain gets
+    grad/sparsity and noise*sparsity."""
+    B = x_init.shape[0]
+    sigmas_np = np.asarray(sigmas, np.float64)
+    L = len(sigmas_np)
+    ladder = np.geomspace(sigmas_np[0], sigmas_np[-1], (L - 1) * n_steps_each + 1)
+    eta = step_lr / float(sigmas_np[-1] ** 2)
+    sig_c = ladder
+    sig_next = np.concatenate([ladder[1:], [ladder[-1]]])
+    gamma = sig_c / sig_next
+    beta = np.sqrt(np.clip(1.0 - (gamma * (1.0 - eta)) ** 2, 0.0, None))
+    n = len(ladder)
+    sparsity = jnp.asarray(sparsity, jnp.float32)
+
+    xs = (
+        jnp.asarray(sig_c, jnp.float32),
+        jnp.asarray(sig_next, jnp.float32),
+        jnp.asarray(beta, jnp.float32),
+        jnp.arange(n),
+    )
+
+    def body(carry, inp):
+        x, x_sparse = carry
+        s_c, s_next, b, i = inp
+        t_b = jnp.full((B,), s_c)
+        grad = scorenet_apply(variables, x, t_b, condition, None)
+        noise = jax.random.normal(jax.random.fold_in(rng, i), x.shape)
+        keep = i + 1 < n
+        x_new = x - eta * s_c * grad + jnp.where(keep, b * s_next, 0.0) * noise
+        x_sparse_new = (
+            x_sparse
+            - eta * s_c * (grad / sparsity)
+            + jnp.where(keep, b * s_next, 0.0) * (sparsity * noise)
+        )
+        return (x_new, x_sparse_new), None
+
+    (x, x_sparse), _ = jax.lax.scan(body, (x_init, jnp.array(x_init)), xs)
+    if denoise:
+        t_b = jnp.full((B,), float(sigmas_np[-1]))
+        x_sparse = x_sparse - sigmas_np[-1] * sparsity * scorenet_apply(variables, x, t_b, condition, None)
+    return x_sparse
+
+
+def anneal_langevin_dynamics_inpainting(
+    scorenet_apply,
+    variables,
+    rng,
+    x_init: Array,
+    refer_image: Array,
+    known_mask: Array,
+    condition: Array,
+    sigmas: Array,
+    n_steps_each: int = 1,
+    step_lr: float = 8e-6,
+) -> Array:
+    """Langevin inpainting (ref ``anneal_Langevin_dynamics_inpainting
+    :858-899``, generalized from the hardcoded right-half-missing 32x32 case
+    to an arbitrary known-pixel mask): per step, the KNOWN region is replaced
+    by the reference image re-corrupted to the current noise level, then a
+    Langevin update runs on the whole tensor. The scorenet output is used as
+    the score directly (ref update ``x + step_size * grad``)."""
+    B = x_init.shape[0]
+    L = len(sigmas)
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+    known_mask = jnp.asarray(known_mask, x_init.dtype)
+
+    def level_body(x, inp):
+        c, key = inp
+        sigma = sigmas[c]
+        step_size = step_lr * (sigma / sigmas[-1]) ** 2
+
+        def step_body(x, k):
+            k_corrupt, k_noise = jax.random.split(k)
+            corrupted = refer_image + jax.random.normal(k_corrupt, refer_image.shape) * sigma
+            x = known_mask * corrupted + (1.0 - known_mask) * x
+            t_b = jnp.full((B,), c, jnp.float32)
+            grad = scorenet_apply(variables, x, t_b, condition, None)
+            noise = jax.random.normal(k_noise, x.shape) * jnp.sqrt(2.0 * step_size)
+            return x + step_size * grad + noise, None
+
+        keys = jax.random.split(key, n_steps_each)
+        x, _ = jax.lax.scan(step_body, x, keys)
+        return x, None
+
+    keys = jax.random.split(rng, L)
+    x, _ = jax.lax.scan(level_body, x_init, (jnp.arange(L), keys))
+    return x
+
+
+def anneal_langevin_dynamics_interpolation(
+    scorenet_apply,
+    variables,
+    rng,
+    x_init: Array,
+    n_interpolations: int,
+    condition: Array,
+    sigmas: Array,
+    n_steps_each: int = 1,
+    step_lr: float = 8e-6,
+) -> Array:
+    """Langevin interpolation (ref ``anneal_Langevin_dynamics_interpolation
+    :902-976``): each of the B rows runs ``n_interpolations`` chains whose
+    per-step noise is a spherical interpolation
+    ``cos(angle) * noise_p + sin(angle) * noise_q`` between two shared draws —
+    neighboring chains share correlated randomness and land on an
+    interpolation path. Returns (B * n_interpolations, *sample_shape)."""
+    B = x_init.shape[0]
+    L = len(sigmas)
+    sigmas = jnp.asarray(sigmas, jnp.float32)
+    x = jnp.repeat(x_init, n_interpolations, axis=0)  # row-major (B, n_i) flatten
+    angles = jnp.linspace(0.0, jnp.pi / 2.0, n_interpolations)
+    ang_shape = (1, n_interpolations) + (1,) * (x_init.ndim - 1)
+    cos_a = jnp.cos(angles).reshape(ang_shape)
+    sin_a = jnp.sin(angles).reshape(ang_shape)
+
+    def level_body(x, inp):
+        c, key = inp
+        sigma = sigmas[c]
+        step_size = step_lr * (sigma / sigmas[-1]) ** 2
+
+        def step_body(x, k):
+            k_p, k_q = jax.random.split(k)
+            noise_p = jax.random.normal(k_p, x_init.shape)[:, None]
+            noise_q = jax.random.normal(k_q, x_init.shape)[:, None]
+            noise = (noise_p * cos_a + noise_q * sin_a).reshape(x.shape)
+            t_b = jnp.full((x.shape[0],), c, jnp.float32)
+            grad = scorenet_apply(variables, x, t_b, condition, None)
+            return x + step_size * grad + noise * jnp.sqrt(2.0 * step_size), None
+
+        keys = jax.random.split(key, n_steps_each)
+        x, _ = jax.lax.scan(step_body, x, keys)
+        return x, None
+
+    keys = jax.random.split(rng, L)
+    x, _ = jax.lax.scan(level_body, x, (jnp.arange(L), keys))
+    return x

@@ -101,10 +101,17 @@ class ForecastingExperiment(Experiment):
 class DyffusionForecastingExperiment(ForecastingExperiment):
     """Stage-2 DYffusion training + sampling (ref ``:398-424``)."""
 
-    def __init__(self, cfg, dims, model=None, engine=None, interpolator_params=None, boundary_fn=None):
+    def __init__(
+        self, cfg, dims, model=None, engine=None, interpolator_params=None,
+        boundary_fn=None, forward_conditioning: str = "data",
+    ):
         super().__init__(cfg, dims, model, boundary_fn=boundary_fn)
         self.engine = engine  # DyffusionEngine over forecaster+interpolator applies
         self.interpolator_params = interpolator_params  # frozen variables
+        # channel arithmetic must know the conditioning mode BEFORE the engine
+        # exists (the engine needs the built backbone) — an explicit arg, not
+        # a peek at the not-yet-set engine
+        self.forward_conditioning = forward_conditioning
 
     # forecaster input is a single frame (window used as conditioning; ref :84-95)
     def actual_num_input_channels(self) -> int:
@@ -112,7 +119,8 @@ class DyffusionForecastingExperiment(ForecastingExperiment):
 
     def num_conditional_channels(self) -> int:
         base = self.dims.get("conditional", 0)
-        if self.engine is not None and self.engine.cfg.forward_conditioning == "none":
+        if self.forward_conditioning == "none":
+            # ref predict_x_last :205-239: no data conditioning, statics only
             return base
         return base + self.dims["input"] * self.cfg.window
 
@@ -312,9 +320,13 @@ class SimultaneousForecastingExperiment(ForecastingExperiment):
     With ``diffusion_engine`` set, hosts the DDPM/MCVD-style baselines whose
     sampler produces the full stacked-horizon tensor at once."""
 
-    def __init__(self, cfg, dims, model=None, diffusion_engine=None, boundary_fn=None):
+    def __init__(self, cfg, dims, model=None, diffusion_engine=None, boundary_fn=None, is_diffusion=None):
         super().__init__(cfg, dims, model, boundary_fn=boundary_fn)
         self.diffusion_engine = diffusion_engine
+        # channel arithmetic depends on diffusion-hosting BEFORE the engine
+        # exists (the engine needs the built backbone): an explicit flag, not
+        # a placeholder engine value
+        self.is_diffusion = bool(is_diffusion) if is_diffusion is not None else diffusion_engine is not None
 
     @staticmethod
     def _split_logvar(variables):
@@ -328,7 +340,7 @@ class SimultaneousForecastingExperiment(ForecastingExperiment):
         return {**variables, "params": params}, logvar
 
     def actual_num_input_channels(self) -> int:
-        if self.diffusion_engine is not None:
+        if self.is_diffusion:
             # standard diffusion: model input is output-shaped (ref :87-90)
             return self.actual_num_output_channels()
         return self.dims["input"] * self.cfg.window
@@ -338,7 +350,7 @@ class SimultaneousForecastingExperiment(ForecastingExperiment):
 
     def num_conditional_channels(self) -> int:
         base = self.dims.get("conditional", 0)
-        if self.diffusion_engine is not None:
+        if self.is_diffusion:
             # window frames condition the denoiser
             return base + self.dims["input"] * self.cfg.window
         return base

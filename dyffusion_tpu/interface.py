@@ -171,7 +171,10 @@ def build_experiment(
         else:
             ip_apply, ip_vars = interpolator
 
-        exp = DyffusionForecastingExperiment(exp_cfg, dims, boundary_fn=boundary_fn)
+        exp = DyffusionForecastingExperiment(
+            exp_cfg, dims, boundary_fn=boundary_fn,
+            forward_conditioning=diff_cfg.get("forward_conditioning", "data"),
+        )
         spec = exp.backbone_spec(with_time_emb=True)
         model = build_backbone(config["model"], spec)
         variables = init_backbone(model, spec, rng)
@@ -224,11 +227,10 @@ def build_experiment(
     if kind == "simultaneous":
         diff_name = diff_cfg.get("name")
         is_diffusion = diff_name in ("ddpm", "ddpm_v2", "mcvd")
-        exp = SimultaneousForecastingExperiment(exp_cfg, dims, boundary_fn=boundary_fn)
+        exp = SimultaneousForecastingExperiment(
+            exp_cfg, dims, boundary_fn=boundary_fn, is_diffusion=is_diffusion
+        )
         engine = None
-        if is_diffusion:
-            # channel arithmetic must see the (future) engine's presence
-            exp.diffusion_engine = True
         spec = exp.backbone_spec(with_time_emb=is_diffusion or config["model"].get("with_time_emb", False))
         model = build_backbone(config["model"], spec)
         variables = init_backbone(model, spec, rng)
@@ -380,6 +382,7 @@ def run_experiment(
         save_checkpoints=tr_cfg.get("save_checkpoints", True),
         early_stopping_patience=tr_cfg.get("early_stopping_patience"),
         mesh=mesh,
+        watch_gradients=tr_cfg.get("watch_gradients", False),
     )
     if trainer.ckpt is not None:
         trainer.ckpt.save_config(config)

@@ -86,6 +86,13 @@ class LinearAttention(nn.Module):
 
     qkv is a (dropout ->) 1x1 projection; context is a d x e matrix per head
     (two MXU-friendly einsums instead of an N x N attention matrix).
+
+    ``use_pallas=None`` (auto) fuses the whole softmax/context/out chain in a
+    Pallas kernel on TPU backends for the 'qkv' rescale — it consumes the qkv
+    projection in its NATURAL token-major layout, eliminating the two
+    (B, h, d, N) HBM rearrangement copies the XLA path materializes (the
+    attention block was the slowest UNet component at sampler scale; PERF.md).
+    Numerically identical to the jnp path (tests/test_pallas_attention.py).
     """
 
     dim: int
@@ -93,6 +100,7 @@ class LinearAttention(nn.Module):
     dim_head: int = 32
     dropout: float = 0.0
     rescale: str = "qkv"  # 'qk' | 'qkv'
+    use_pallas: Optional[bool] = None  # None = auto (TPU yes, CPU no)
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
@@ -101,6 +109,19 @@ class LinearAttention(nn.Module):
         hidden = self.heads * self.dim_head
         h = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         qkv = nn.Dense(hidden * 3, use_bias=False, name="to_qkv")(h)
+
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = self.rescale == "qkv" and jax.default_backend() != "cpu"
+        if use_pallas and self.rescale == "qkv":
+            from dyffusion_tpu.ops.pallas_attention import linear_attention_qkv
+
+            out = linear_attention_qkv(
+                qkv.reshape(B, H * W, 3 * hidden), self.heads, self.dim_head, scale
+            )
+            out = out.reshape(B, H, W, hidden)
+            return nn.Dense(self.dim, name="to_out")(out)
+
         qkv = qkv.reshape(B, H * W, 3, self.heads, self.dim_head)
         # (B, heads, d, N) to mirror the reference einsum layout
         q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 3, 1)) for i in range(3))

@@ -116,7 +116,8 @@ class ActNorm(nn.Module):
                 name="dense",
             )(nn.silu(temb))
             scale, shift = jnp.split(emb[:, None, None, :], 2, axis=-1)
-            h = h * (1.0 + scale) + shift
+            # keep h's dtype (f32 temb path must not upcast the conv path)
+            h = h * (1.0 + scale.astype(h.dtype)) + shift.astype(h.dtype)
         else:
             h = nn.GroupNorm(num_groups=_groups(self.ch), epsilon=1e-5, name="norm")(x)
         return nn.silu(h)
@@ -248,10 +249,11 @@ class ResnetBlockDDPM(nn.Module):
         h = nn.silu(nn.GroupNorm(num_groups=_groups(C), epsilon=1e-6, name="norm1")(x))
         h = ddpm_conv(out_ch, 3, name="conv1")(h)
         if self.use_temb and temb is not None:
-            h = h + nn.Dense(
+            temb_add = nn.Dense(
                 out_ch, kernel_init=_init(), bias_init=nn.initializers.zeros,
                 name="temb_proj",
             )(nn.silu(temb))[:, None, None, :]
+            h = h + temb_add.astype(h.dtype)
         h = nn.silu(nn.GroupNorm(num_groups=_groups(out_ch), epsilon=1e-6, name="norm2")(h))
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = ddpm_conv(out_ch, 3, name="conv2", init_scale=0.0)(h)

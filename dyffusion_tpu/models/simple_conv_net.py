@@ -74,7 +74,8 @@ class ConvBlock(nn.Module):
         if self.use_time_emb and time_emb is not None:
             emb = nn.Dense(self.dim_out * 2, name="time_mlp")(nn.silu(time_emb))[:, None, None, :]
             scale, shift = jnp.split(emb, 2, axis=-1)
-            h = h * (scale + 1.0) + shift
+            # keep h's dtype: the f32 time MLP must not upcast the conv path
+            h = h * (scale.astype(h.dtype) + 1.0) + shift.astype(h.dtype)
         h = nn.gelu(h, approximate=False)  # torch nn.GELU() is exact erf
         if self.dropout > 0:
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)

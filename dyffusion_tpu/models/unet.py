@@ -55,7 +55,10 @@ class ResnetBlock(nn.Module):
         h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="block1_norm")(h)
         if scale_shift is not None:
             scale, shift = scale_shift
-            h = h * (scale + 1.0) + shift
+            # cast: the time MLP runs in f32 (sinusoidal emb), and promoting
+            # h here would silently upcast the WHOLE network downstream of the
+            # first FiLM — defeating bf16 eval (found via a Pallas VMEM OOM)
+            h = h * (scale.astype(h.dtype) + 1.0) + shift.astype(h.dtype)
         h = nn.silu(h)
         h = nn.Dropout(self.dropout1)(h, deterministic=deterministic)
 
@@ -77,15 +80,35 @@ def _downsample_conv(features: int, name: str):
 
 
 class Upsample(nn.Module):
-    """Nearest x2 + 3x3 conv (ref ``unet.py:16-19``)."""
+    """Nearest x2 + 3x3 conv (ref ``unet.py:16-19``), computed FUSED.
+
+    nearest-x2 upsampling is exactly a FIR [1,1] (x) [1,1] upfirdn with up=2,
+    and convolution commutes with the FIR filter, so
+    ``conv3x3(nearest_up2(x)) == upsample_conv_2d(x, w, k=[1,1])`` — one fused
+    transpose-conv instead of materializing the 4x-larger intermediate in HBM
+    (the resize alone measured ~12ms at sampler scale; see PERF.md). Parameter
+    layout is identical to the unfused version (``conv/kernel``, ``conv/bias``),
+    and ``tests/test_models.py`` asserts numerical equality with the unfused
+    path."""
 
     features: int
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        B, H, W, C = x.shape
-        x = jax.image.resize(x, (B, 2 * H, 2 * W, C), method="nearest")
-        return nn.Conv(self.features, (3, 3), padding="SAME", name="conv")(x)
+        from dyffusion_tpu.ops.upfirdn2d import upsample_conv_2d
+
+        C = x.shape[-1]
+        # same param path/layout as the unfused nn.Conv(name="conv") version
+        p = self.param(
+            "conv",
+            lambda rng: {
+                "kernel": nn.initializers.lecun_normal()(rng, (3, 3, C, self.features)),
+                "bias": jnp.zeros((self.features,), jnp.float32),
+            },
+        )
+        w = p["kernel"].astype(x.dtype)
+        b = p["bias"].astype(x.dtype)
+        return upsample_conv_2d(x, w, k=[1, 1], factor=2) + b
 
 
 class Unet(nn.Module):

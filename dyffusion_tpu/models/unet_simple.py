@@ -87,7 +87,8 @@ class UNetBlock(nn.Module):
         if self.use_time_emb and time_emb is not None:
             emb = nn.Dense(self.dim_out * 2, name="time_mlp")(nn.silu(time_emb))[:, None, None, :]
             scale, shift = jnp.split(emb, 2, axis=-1)
-            x = x * (scale + 1.0) + shift
+            # keep x's dtype: the f32 time MLP must not upcast the conv path
+            x = x * (scale.astype(x.dtype) + 1.0) + shift.astype(x.dtype)
         x = nn.relu(x) if self.relu else nn.leaky_relu(x, RELU_LEAK)
         if self.dropout > 0:
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)

@@ -68,6 +68,118 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_tokens: int, n_valid:
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _qkv_kernel(qkv_ref, o_ref, *, scale: float, n_tokens: int, n_valid: int, heads: int, dim_head: int):
+    """All-heads-per-batch-cell linear attention on the NATURAL qkv layout.
+
+    Reads one (N_pad, 3*h*d) block — the to_qkv Dense output for one batch
+    element, channel-major [q|k|v] x head x dim — and writes (N_pad, h*d)
+    ready for the out-projection. No HBM-level transposes anywhere: the
+    XLA path materializes two (B, h, d, N) rearranged copies of qkv (~1.3 GB
+    of traffic at sampler scale), which is what made attention the slowest
+    block at 60x60 (PERF.md round-2 profile).
+
+    The two matmuls run at full 128-lane width by computing ALL head pairs in
+    one (h*d, h*d) context and masking it to its block-diagonal (one big MXU
+    pass beats h tiny d x d ones).
+    """
+    blk = qkv_ref[0]  # (N_pad, 3*h*d)
+    hd = heads * dim_head
+    q = blk[:, :hd]
+    k = blk[:, hd : 2 * hd]
+    v = blk[:, 2 * hd :]
+    n_pad = q.shape[0]
+    if n_pad != n_valid:
+        row = jax.lax.broadcasted_iota(jnp.int32, (n_pad, hd), 0)
+        valid = row < n_valid
+        k = jnp.where(valid, k, jnp.finfo(jnp.float32).min)
+        v = jnp.where(valid, v, 0)
+    # block-diagonal ones (same-head pairs) — used both as the segment-sum
+    # operator and the cross-head mask
+    r = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // dim_head
+    c = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // dim_head
+    same_head = (r == c).astype(jnp.float32)
+
+    # q: softmax over dim_head WITHIN each head. Mosaic cannot lane-split
+    # (N, hd) -> (N, h, d), so segment sums run as a matmul with the
+    # block-diagonal ones matrix; stability comes from subtracting the row
+    # max (>= every group max, so exp stays <= 1). Softmaxes compute in f32;
+    # matmul inputs drop back to the input dtype (f32 accumulation via
+    # preferred_element_type) to stay inside the 16MB VMEM budget.
+    in_dtype = blk.dtype
+    qf = q.astype(jnp.float32)
+    qe = jnp.exp(qf - jnp.max(qf, axis=1, keepdims=True))
+    seg = jnp.dot(qe, same_head, preferred_element_type=jnp.float32)  # per-head sums
+    qs = (qe / seg * scale).astype(in_dtype)
+    # k: softmax over tokens (major axis — directly supported)
+    kf = jax.nn.softmax(k.astype(jnp.float32), axis=0).astype(in_dtype)
+    vf = (v / n_tokens).astype(in_dtype)
+    context = jnp.dot(kf.T, vf, preferred_element_type=jnp.float32)  # (hd, hd)
+    context = (context * same_head).astype(in_dtype)  # per-head blocks only
+    out = jnp.dot(qs, context, preferred_element_type=jnp.float32)  # (N_pad, hd)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def linear_attention_qkv(
+    qkv: Array,
+    heads: int,
+    dim_head: int,
+    scale: float,
+    use_pallas: bool = True,
+) -> Array:
+    """Fused 'qkv'-rescale linear attention on the natural projection layout.
+
+    Args:
+        qkv: (B, N, 3*heads*dim_head) — the to_qkv Dense output, tokens-major.
+    Returns:
+        (B, N, heads*dim_head) attention output (pre out-projection),
+        identical to the jnp reference path in ``LinearAttention``.
+    """
+    B, N, F = qkv.shape
+    assert F == 3 * heads * dim_head
+    # VMEM guard: per-cell footprint ~ input block + 3 f32 work buffers +
+    # ~5 in-dtype (N, h*d) buffers; fall back to XLA when it would not fit
+    # the 16MB scoped-vmem budget (e.g. f32 at 3600 tokens).
+    LANE = 128
+    n_pad_est = -(-N // LANE) * LANE
+    isz = jnp.dtype(qkv.dtype).itemsize
+    hd = heads * dim_head
+    vmem_est = n_pad_est * F * isz + 3 * n_pad_est * hd * 4 + 5 * n_pad_est * hd * isz
+    if vmem_est > 14 * 2**20:
+        use_pallas = False
+    if not use_pallas:
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def tr(t):  # (B, N, h*d) -> (B, h, d, N)
+            return jnp.transpose(t.reshape(B, N, heads, dim_head), (0, 2, 3, 1))
+
+        out = _core_reference(
+            tr(q).reshape(B * heads, dim_head, N),
+            tr(k).reshape(B * heads, dim_head, N),
+            tr(v).reshape(B * heads, dim_head, N),
+            scale,
+            N,
+        ).reshape(B, heads, dim_head, N)
+        return jnp.transpose(out, (0, 3, 1, 2)).reshape(B, N, heads * dim_head)
+
+    n_pad = n_pad_est
+    if n_pad != N:
+        qkv = jnp.pad(qkv, ((0, 0), (0, n_pad - N), (0, 0)))
+    kernel = functools.partial(
+        _qkv_kernel, scale=scale, n_tokens=N, n_valid=N, heads=heads, dim_head=dim_head
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, n_pad, F), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (1, n_pad, heads * dim_head), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, heads * dim_head), qkv.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(qkv)
+    return out[:, :N]
+
+
 def linear_attention_core(
     q: Array, k: Array, v: Array, scale: float, use_pallas: bool = True
 ) -> Array:

