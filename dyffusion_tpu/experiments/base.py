@@ -56,9 +56,12 @@ class ExperimentConfig:
     # targets and metrics stay f32); fold_members_into_batch runs the
     # N-member MC-dropout ensemble as one (N*B)-batch forward instead of a
     # member vmap (dropout masks are independent per batch row, so member
-    # diversity is preserved) — 1.78x faster at SST scale on v5e.
+    # diversity is preserved). Folding is the DEFAULT: it is what the
+    # reference itself does (``get_ensemble_inputs`` tiles the batch xN,
+    # ``_base_experiment.py:533-535``) and it is the faster layout on TPU;
+    # set false for the vmap layout. eval_dtype stays opt-in (precision).
     eval_dtype: Optional[str] = None  # None | 'bfloat16'
-    fold_members_into_batch: bool = False
+    fold_members_into_batch: bool = True
     use_ema: bool = False  # reference default (configs/module/_base_experiment_config.yaml:12)
     ema_decay: float = 0.9999
     optimizer: Dict[str, Any] = field(default_factory=lambda: {"name": "adamw", "lr": 3e-4})

@@ -76,44 +76,80 @@ class InterpolationExperiment(Experiment):
     def make_eval_fn(self, apply_fn, split: str = "val") -> Callable:
         """(variables, batch, rng) -> {'t{i}_preds': (N,B,H,W,C), 't{i}_targets'}.
 
-        MC-dropout ensemble at every i (ref ``_evaluation_step :68-127``):
-        vmapped over members; per-i predictions batched into one forward.
+        MC-dropout ensemble at every i (ref ``_evaluation_step :68-127``).
+        Member layout follows the fast-eval options
+        (``ExperimentConfig.fold_members_into_batch`` folds the N members
+        into one (N*B)-batch forward per time; ``eval_dtype`` casts the
+        compute to bf16 with f32 outputs) — same contract as the
+        forecasting experiments.
         """
         w, h = self.cfg.window, self.cfg.horizon
         n_members = self.num_members(split)
         noise = self.cfg.prediction_inputs_noise
         use_dropout = self.cfg.enable_inference_dropout
+        fold = self.cfg.fold_members_into_batch
+        dtype = jnp.bfloat16 if self.cfg.eval_dtype in ("bfloat16", "bf16") else None
 
         def eval_fn(variables, batch, rng):
             dynamics = batch["dynamics"]
             B = dynamics.shape[0]
             inputs = self.get_inputs(dynamics)  # (B, H, W, wc+c)
             cond = self.static_condition(batch)
+            if dtype is not None:
+                variables = jax.tree_util.tree_map(lambda p: p.astype(dtype), variables)
+                inputs = inputs.astype(dtype)
+                cond = None if cond is None else cond.astype(dtype)
             times = jnp.arange(1, h, dtype=jnp.float32)  # (h-1,)
 
-            def one_member(key):
-                k_noise, k_drop = jax.random.split(key)
-                x = inputs
+            if fold:
+                # members folded into the batch: one (N*B) forward per time
+                x = jnp.broadcast_to(inputs[None], (n_members,) + inputs.shape)
+                x = x.reshape((n_members * B,) + inputs.shape[1:])
+                c_flat = None
+                if cond is not None:
+                    c_flat = jnp.broadcast_to(cond[None], (n_members,) + cond.shape)
+                    c_flat = c_flat.reshape((n_members * B,) + cond.shape[1:])
+                k_noise, k_drop = jax.random.split(rng)
                 if noise > 0:
                     x = x + noise * jax.random.normal(k_noise, x.shape, x.dtype)
 
-                # scan over interpolation times at batch B each — tiling all
-                # times into one (n_t*B) forward OOMs on the big backbones
-                # (e.g. NS unet_simple at 256x256 internal, h=16)
                 def at_time(c, t_and_i):
                     t_val, i = t_and_i
-                    t_b = jnp.full((B,), t_val)
+                    t_b = jnp.full((n_members * B,), t_val)
                     p = apply_fn(
-                        variables, x, t_b, cond,
+                        variables, x, t_b, c_flat,
                         jax.random.fold_in(k_drop, i) if use_dropout else None,
                     )
-                    return c, p
+                    return c, p.astype(jnp.float32)
 
                 _, preds = jax.lax.scan(at_time, 0, (times, jnp.arange(h - 1)))
-                return preds  # (n_t, B, ...)
+                preds = preds.reshape((h - 1, n_members, B) + preds.shape[2:])
+                preds = jnp.moveaxis(preds, 0, 1)  # (N, n_t, B, ...)
+            else:
 
-            member_keys = jax.random.split(rng, n_members)
-            preds = jax.vmap(one_member)(member_keys)  # (N, n_t, B, H, W, C)
+                def one_member(key):
+                    k_noise, k_drop = jax.random.split(key)
+                    x = inputs
+                    if noise > 0:
+                        x = x + noise * jax.random.normal(k_noise, x.shape, x.dtype)
+
+                    # scan over interpolation times at batch B each — tiling
+                    # all times into one (n_t*B) forward OOMs on the big
+                    # backbones (e.g. NS unet_simple at 256x256, h=16)
+                    def at_time(c, t_and_i):
+                        t_val, i = t_and_i
+                        t_b = jnp.full((B,), t_val)
+                        p = apply_fn(
+                            variables, x, t_b, cond,
+                            jax.random.fold_in(k_drop, i) if use_dropout else None,
+                        )
+                        return c, p.astype(jnp.float32)
+
+                    _, preds = jax.lax.scan(at_time, 0, (times, jnp.arange(h - 1)))
+                    return preds  # (n_t, B, ...)
+
+                member_keys = jax.random.split(rng, n_members)
+                preds = jax.vmap(one_member)(member_keys)  # (N, n_t, B, H, W, C)
 
             out = {}
             for idx, i in enumerate(range(1, h)):

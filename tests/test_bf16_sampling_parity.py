@@ -129,3 +129,43 @@ def test_bf16_sampling_statistics_match_f32():
     for k in ("crps", "mse", "ssr"):
         rel = abs(float(m16[k]) - float(m32[k])) / max(abs(float(m32[k])), 1e-8)
         assert rel < 0.05, f"{k}: bf16={m16[k]} vs f32={m32[k]} (rel {rel:.3f})"
+
+
+def test_interpolation_fold_and_bf16_eval_path():
+    """Stage-1 interpolation eval also supports the fast-eval options
+    (fold_members_into_batch + eval_dtype) — shapes, diversity, and bf16
+    within tolerance of f32 on the same folded layout/rng."""
+    from dyffusion_tpu.config import get_config
+    from dyffusion_tpu.interface import build_experiment, get_datamodule
+
+    def build(eval_dtype, fold):
+        overrides = [
+            "datamodule.n_traj=4", "datamodule.n_time=12", "datamodule.spatial=(12,12)",
+            "datamodule.channels=1", "datamodule.horizon=4", "datamodule.batch_size=4",
+            "datamodule.eval_batch_size=4", "model.dim=16", "model.dim_mults=(1,2)",
+            "model.block_dropout=0.2", "module.num_predictions=6",
+            f"module.fold_members_into_batch={fold}", "trainer.save_checkpoints=False",
+        ]
+        if eval_dtype:
+            overrides.append(f"module.eval_dtype={eval_dtype}")
+        cfg = get_config("synthetic_interpolation", overrides)
+        dm = get_datamodule(cfg)
+        dm.setup()
+        _, _, variables, _, eval_fns, _ = build_experiment(cfg, dm)
+        batch = {k: jnp.asarray(v) for k, v in next(iter(dm.val_batches())).items()}
+        return eval_fns["val"], variables, batch
+
+    rng = jax.random.key(9)
+    f32_fn, v1, batch = build(None, fold=True)
+    out32 = jax.jit(f32_fn)(v1, batch, rng)
+    assert out32["t1_preds"].shape == (6, 4, 12, 12, 1)
+    assert not np.allclose(np.asarray(out32["t1_preds"][0]), np.asarray(out32["t1_preds"][1]))
+    bf16_fn, v2, _ = build("bfloat16", fold=True)
+    out16 = jax.jit(bf16_fn)(v2, batch, rng)
+    assert out16["t1_preds"].dtype == jnp.float32
+    for t in (1, 2, 3):
+        m32 = evaluate_ensemble_prediction(np.asarray(out32[f"t{t}_preds"]), np.asarray(out32[f"t{t}_targets"]))
+        m16 = evaluate_ensemble_prediction(np.asarray(out16[f"t{t}_preds"]), np.asarray(out16[f"t{t}_targets"]))
+        for k in ("crps", "mse"):
+            rel = abs(float(m16[k]) - float(m32[k])) / max(abs(float(m32[k])), 1e-8)
+            assert rel < 0.08, f"t{t} {k}: {m16[k]} vs {m32[k]}"
