@@ -81,8 +81,21 @@ def _install_stubs():
             def hparams(self):
                 return _HParams(getattr(self, "_stub_hparams", {}))
 
+            @property
+            def device(self):
+                import torch as _torch
+
+                return _torch.device("cpu")
+
         pl.LightningModule = LightningModule
+
+        class LightningDataModule:
+            def __init__(self, *a, **k):
+                pass
+
+        pl.LightningDataModule = LightningDataModule
         util = types.ModuleType("pytorch_lightning.utilities")
+        util.__path__ = []  # mark as package so submodule imports resolve
 
         def rank_zero_only(fn):
             return fn
@@ -90,8 +103,14 @@ def _install_stubs():
         rank_zero_only.rank = 0
         util.rank_zero_only = rank_zero_only
         pl.utilities = util
+        pl_types = types.ModuleType("pytorch_lightning.utilities.types")
+        pl_types.EVAL_DATALOADERS = object
+        pl_types.TRAIN_DATALOADERS = object
+        pl_types.STEP_OUTPUT = object
+        util.types = pl_types
         sys.modules["pytorch_lightning"] = pl
         sys.modules["pytorch_lightning.utilities"] = util
+        sys.modules["pytorch_lightning.utilities.types"] = pl_types
 
     if "tensordict" not in sys.modules:
         td = types.ModuleType("tensordict")
@@ -106,6 +125,51 @@ def _install_stubs():
         wb = types.ModuleType("wandb")
         wb.run = None
         sys.modules["wandb"] = wb
+
+    if "torchmetrics" not in sys.modules:
+        tm = types.ModuleType("torchmetrics")
+
+        class MeanSquaredError(nn.Module):
+            def forward(self, a, b):
+                return ((a - b) ** 2).mean()
+
+            def update(self, *a, **k):
+                pass
+
+            def compute(self):
+                raise NotImplementedError
+
+            def reset(self):
+                pass
+
+        tm.MeanSquaredError = MeanSquaredError
+        tm.Metric = nn.Module
+        sys.modules["torchmetrics"] = tm
+
+    if "xskillscore" not in sys.modules:
+        xs = types.ModuleType("xskillscore")
+
+        def crps_ensemble(*a, **k):
+            raise NotImplementedError("xskillscore stub")
+
+        xs.crps_ensemble = crps_ensemble
+        sys.modules["xskillscore"] = xs
+
+    if "xarray" not in sys.modules:
+        try:
+            import xarray  # noqa: F401
+        except ImportError:
+            xr = types.ModuleType("xarray")
+
+            class DataArray:
+                def __init__(self, *a, **k):
+                    raise NotImplementedError("xarray stub")
+
+            xr.DataArray = DataArray
+            xr.Dataset = DataArray
+            # permissive: any other attribute (used only in annotations)
+            xr.__getattr__ = lambda name: object
+            sys.modules["xarray"] = xr
 
 
 def import_reference(module: str):
