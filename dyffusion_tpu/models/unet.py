@@ -151,7 +151,8 @@ class Unet(nn.Module):
             assert self.upsample_dims is not None
             method = "bilinear" if self.outer_sample_mode == "bilinear" else "nearest"
             x = jax.image.resize(
-                x, (x.shape[0], *self.upsample_dims, x.shape[-1]), method=method
+                x, (x.shape[0], *self.upsample_dims, x.shape[-1]), method=method,
+                antialias=False,  # torch F.interpolate never antialiases
             )
 
         init_dim = self.init_dim or self.dim
@@ -252,5 +253,8 @@ class Unet(nn.Module):
 
         if self.outer_sample_mode is not None:
             method = "bilinear" if self.outer_sample_mode == "bilinear" else "nearest"
-            x = jax.image.resize(x, (x.shape[0], *orig_shape, x.shape[-1]), method=method)
+            x = jax.image.resize(
+                x, (x.shape[0], *orig_shape, x.shape[-1]), method=method,
+                antialias=False,  # exit resample downscales; torch doesn't antialias
+            )
         return x

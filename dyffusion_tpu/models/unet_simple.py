@@ -66,17 +66,25 @@ class UNetBlock(nn.Module):
                 name="conv",
             )(x)
         else:
-            B, H, W, C = x.shape
-            x = jax.image.resize(x, (B, 2 * H, 2 * W, C), method="bilinear")
+            # bilinear x2 + conv computed FUSED as one dilated conv (exact,
+            # incl. the resize's edge clamp vs the conv's zero pad — see
+            # ops.upfirdn2d.bilinear_upsample_conv_2d; the 4x intermediate
+            # never touches HBM, 1.3-1.6x faster at NS decoder scale).
+            # Param path/layout identical to the unfused nn.Conv(name="conv").
+            from dyffusion_tpu.ops.upfirdn2d import bilinear_upsample_conv_2d
+
             k = self.size - 1
-            x = nn.Conv(
-                self.dim_out,
-                (k, k),
-                strides=(1, 1),
-                padding=((self.pad, self.pad), (self.pad, self.pad)),
-                kernel_init=DCGAN_CONV_INIT,
-                name="conv",
-            )(x)
+            C = x.shape[-1]
+            p = self.param(
+                "conv",
+                lambda rng: {
+                    "kernel": DCGAN_CONV_INIT(rng, (k, k, C, self.dim_out)),
+                    "bias": jnp.zeros((self.dim_out,), jnp.float32),
+                },
+            )
+            x = bilinear_upsample_conv_2d(
+                x, p["kernel"].astype(x.dtype), padding=self.pad
+            ) + p["bias"].astype(x.dtype)
         if self.bn:
             x = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -127,8 +135,10 @@ class UNetSimple(nn.Module):
 
         orig_shape = x.shape[1:3]
         if self.upsample_dims is not None:
+            # antialias=False: torch F.interpolate/nn.Upsample never antialias
             x = jax.image.resize(
-                x, (x.shape[0], *self.upsample_dims, x.shape[-1]), method=self.outer_sample_mode
+                x, (x.shape[0], *self.upsample_dims, x.shape[-1]),
+                method=self.outer_sample_mode, antialias=False,
             )
 
         x = nn.Conv(self.dim, (1, 1), kernel_init=DCGAN_CONV_INIT, name="init_conv")(x)
@@ -172,7 +182,10 @@ class UNetSimple(nn.Module):
         )(x)
 
         if self.upsample_dims is not None:
+            # the exit resample DOWNSCALES (256x256 -> e.g. 221x42): torch
+            # interpolate does not antialias, so neither do we (exact parity)
             x = jax.image.resize(
-                x, (x.shape[0], *orig_shape, x.shape[-1]), method=self.outer_sample_mode
+                x, (x.shape[0], *orig_shape, x.shape[-1]),
+                method=self.outer_sample_mode, antialias=False,
             )
         return x

@@ -119,6 +119,65 @@ def _qkv_kernel(qkv_ref, o_ref, *, scale: float, n_tokens: int, n_valid: int, he
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _xla_qkv(qkv: Array, heads: int, dim_head: int, scale: float) -> Array:
+    """XLA composition of the qkv-layout linear attention (the rearrange +
+    reference-core path). Numerically identical to the Pallas kernel (tested
+    to 1e-8); also serves as the autodiff rule for it."""
+    B, N, F = qkv.shape
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def tr(t):  # (B, N, h*d) -> (B, h, d, N)
+        return jnp.transpose(t.reshape(B, N, heads, dim_head), (0, 2, 3, 1))
+
+    out = _core_reference(
+        tr(q).reshape(B * heads, dim_head, N),
+        tr(k).reshape(B * heads, dim_head, N),
+        tr(v).reshape(B * heads, dim_head, N),
+        scale,
+        N,
+    ).reshape(B, heads, dim_head, N)
+    return jnp.transpose(out, (0, 3, 1, 2)).reshape(B, N, heads * dim_head)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _pallas_qkv(qkv: Array, heads: int, dim_head: int, scale: float) -> Array:
+    B, N, F = qkv.shape
+    LANE = 128
+    n_pad = -(-N // LANE) * LANE
+    if n_pad != N:
+        qkv = jnp.pad(qkv, ((0, 0), (0, n_pad - N), (0, 0)))
+    kernel = functools.partial(
+        _qkv_kernel, scale=scale, n_tokens=N, n_valid=N, heads=heads, dim_head=dim_head
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, n_pad, F), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (1, n_pad, heads * dim_head), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, heads * dim_head), qkv.dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(qkv)
+    return out[:, :N]
+
+
+def _pallas_qkv_fwd(qkv, heads, dim_head, scale):
+    return _pallas_qkv(qkv, heads, dim_head, scale), qkv
+
+
+def _pallas_qkv_bwd(heads, dim_head, scale, qkv, g):
+    # Backward rides the numerically-identical XLA composition: Pallas TPU
+    # kernels have no automatic transpose rule, and without this ANY training
+    # step through the UNet's attention dies with "Linearization failed"
+    # (found by the verify drive — CPU-only tests never take this branch).
+    _, vjp = jax.vjp(lambda t: _xla_qkv(t, heads, dim_head, scale), qkv)
+    return vjp(g)
+
+
+_pallas_qkv.defvjp(_pallas_qkv_fwd, _pallas_qkv_bwd)
+
+
 def linear_attention_qkv(
     qkv: Array,
     heads: int,
@@ -127,6 +186,10 @@ def linear_attention_qkv(
     use_pallas: bool = True,
 ) -> Array:
     """Fused 'qkv'-rescale linear attention on the natural projection layout.
+
+    Differentiable: the Pallas fast path carries a custom VJP that backprops
+    through the identical XLA composition (one extra XLA forward in the
+    backward pass — eval keeps the fused kernel, training keeps exact grads).
 
     Args:
         qkv: (B, N, 3*heads*dim_head) — the to_qkv Dense output, tokens-major.
@@ -147,43 +210,33 @@ def linear_attention_qkv(
     if vmem_est > 14 * 2**20:
         use_pallas = False
     if not use_pallas:
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        return _xla_qkv(qkv, heads, dim_head, scale)
+    return _pallas_qkv(qkv, heads, dim_head, scale)
 
-        def tr(t):  # (B, N, h*d) -> (B, h, d, N)
-            return jnp.transpose(t.reshape(B, N, heads, dim_head), (0, 2, 3, 1))
 
-        out = _core_reference(
-            tr(q).reshape(B * heads, dim_head, N),
-            tr(k).reshape(B * heads, dim_head, N),
-            tr(v).reshape(B * heads, dim_head, N),
-            scale,
-            N,
-        ).reshape(B, heads, dim_head, N)
-        return jnp.transpose(out, (0, 3, 1, 2)).reshape(B, N, heads * dim_head)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _pallas_core(q: Array, k: Array, v: Array, scale: float) -> Array:
+    return _pallas_core_impl(q, k, v, scale)
 
-    n_pad = n_pad_est
-    if n_pad != N:
-        qkv = jnp.pad(qkv, ((0, 0), (0, n_pad - N), (0, 0)))
-    kernel = functools.partial(
-        _qkv_kernel, scale=scale, n_tokens=N, n_valid=N, heads=heads, dim_head=dim_head
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, n_pad, F), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(
-            (1, n_pad, heads * dim_head), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, heads * dim_head), qkv.dtype),
-        interpret=jax.default_backend() == "cpu",
-    )(qkv)
-    return out[:, :N]
+
+def _pallas_core_fwd(q, k, v, scale):
+    return _pallas_core(q, k, v, scale), (q, k, v)
+
+
+def _pallas_core_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda a, b, c: _core_reference(a, b, c, scale, q.shape[-1]), q, k, v)
+    return vjp(g)
+
+
+_pallas_core.defvjp(_pallas_core_fwd, _pallas_core_bwd)
 
 
 def linear_attention_core(
     q: Array, k: Array, v: Array, scale: float, use_pallas: bool = True
 ) -> Array:
-    """Fused linear-attention core.
+    """Fused linear-attention core (differentiable: custom VJP through the
+    identical XLA reference).
 
     Args:
         q, k, v: (BH, d, N) — per-(batch*head) projections.
@@ -194,7 +247,11 @@ def linear_attention_core(
     BH, d, N = q.shape
     if not use_pallas:
         return _core_reference(q, k, v, scale, N)
+    return _pallas_core(q, k, v, scale)
 
+
+def _pallas_core_impl(q: Array, k: Array, v: Array, scale: float) -> Array:
+    BH, d, N = q.shape
     LANE = 128
     n_pad = -(-N // LANE) * LANE
     if n_pad != N:

@@ -100,6 +100,35 @@ def spread_skill_ratio(
     return spread / skill
 
 
+def nll_ensemble(
+    mean_predictions: Array,
+    var_predictions: Array,
+    targets: Array,
+    mean_over_samples: bool = True,
+) -> Array:
+    """Gaussian negative log-likelihood of (mean, variance) predictions
+    (ref ``evaluation.py:123-130``: ``0.5 log(2 pi var) + (y - mu)^2 / (2 var)``)."""
+    mean_predictions = jnp.asarray(mean_predictions)
+    var_predictions = jnp.asarray(var_predictions)
+    targets = jnp.asarray(targets)
+    nll = 0.5 * jnp.log(2 * jnp.pi * var_predictions) + (targets - mean_predictions) ** 2 / (
+        2 * var_predictions
+    )
+    if mean_over_samples:
+        return jnp.mean(nll)
+    return jnp.mean(nll.reshape(nll.shape[0], -1), axis=-1)
+
+
+def corr_ensemble(predictions: Array, targets: Array) -> Array:
+    """Pearson correlation of the ensemble-mean prediction with the targets
+    (ref ``evaluate_ensemble_corr``, ``evaluation.py:139-142``)."""
+    mean_preds = jnp.mean(jnp.asarray(predictions), axis=0).reshape(-1)
+    t = jnp.asarray(targets).reshape(-1)
+    mp = mean_preds - jnp.mean(mean_preds)
+    tt = t - jnp.mean(t)
+    return jnp.sum(mp * tt) / jnp.sqrt(jnp.sum(mp**2) * jnp.sum(tt**2))
+
+
 def evaluate_ensemble_prediction(
     predictions,
     targets,

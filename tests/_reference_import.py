@@ -148,6 +148,7 @@ def _install_stubs():
 
     if "xskillscore" not in sys.modules:
         xs = types.ModuleType("xskillscore")
+        xs.__is_stub__ = True  # lets other tests detect this isn't the real lib
 
         def crps_ensemble(*a, **k):
             raise NotImplementedError("xskillscore stub")
@@ -160,6 +161,7 @@ def _install_stubs():
             import xarray  # noqa: F401
         except ImportError:
             xr = types.ModuleType("xarray")
+            xr.__is_stub__ = True
 
             class DataArray:
                 def __init__(self, *a, **k):

@@ -54,6 +54,10 @@ def test_crps_perfect_deterministic_ensemble_is_mae_zero():
 def test_crps_against_xskillscore_if_available():
     xs = pytest.importorskip("xskillscore")
     xr = pytest.importorskip("xarray")
+    if getattr(xs, "__is_stub__", False) or getattr(xr, "__is_stub__", False):
+        # _reference_import installs sys.modules stubs for the torch-parity
+        # tests; if those ran first in this process, the real lib is absent
+        pytest.skip("xskillscore/xarray are parity-test stubs in this process")
     rng = np.random.default_rng(2)
     preds = rng.normal(size=(11, 6, 2, 5, 5))
     targets = rng.normal(size=(6, 2, 5, 5))
@@ -91,3 +95,22 @@ def test_evaluate_ensemble_prediction_dict():
     out2 = evaluate_ensemble_prediction(preds, targets, mean_over_samples=False)
     assert out2["crps"].shape == (7,)
     assert np.isclose(out2["crps"].mean(), out["crps"], rtol=1e-5)
+
+
+def test_nll_and_corr_match_reference_formulas():
+    from dyffusion_tpu.utils.evaluation import corr_ensemble, nll_ensemble
+
+    rng = np.random.default_rng(11)
+    mu = rng.normal(size=(6, 3, 4))
+    var = rng.uniform(0.5, 2.0, size=(6, 3, 4))
+    y = rng.normal(size=(6, 3, 4))
+    ref_nll = (0.5 * np.log(2 * np.pi * var) + (y - mu) ** 2 / (2 * var)).mean()
+    assert np.isclose(float(nll_ensemble(mu, var, y)), ref_nll, rtol=1e-6)
+    per_sample = np.asarray(nll_ensemble(mu, var, y, mean_over_samples=False))
+    assert per_sample.shape == (6,)
+    assert np.isclose(per_sample.mean(), ref_nll, rtol=1e-6)
+
+    preds = rng.normal(size=(5, 6, 3, 4))
+    mean_preds = preds.mean(0)
+    ref_corr = np.corrcoef(mean_preds.reshape(1, -1), y.reshape(1, -1), rowvar=False)[0, 1]
+    assert np.isclose(float(corr_ensemble(preds, y)), ref_corr, rtol=1e-5)

@@ -126,3 +126,60 @@ def test_upsample_conv_2d_equals_nearest_plus_conv_for_box_kernel():
         xr, w, (1, 1), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC")
     )
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "H,W,C,O,k,p",
+    [(5, 7, 3, 4, 3, 1), (4, 4, 2, 2, 3, 1), (8, 3, 1, 5, 3, 1),
+     (1, 2, 2, 2, 3, 1), (2, 2, 8, 8, 1, 0), (1, 1, 2, 3, 1, 0)],
+)
+def test_bilinear_upsample_conv_2d_exact(H, W, C, O, k, p):
+    """conv(bilinear_up2(x)) fused into one dilated conv must match the
+    unfused pair EXACTLY, including the border where the resize edge-clamps
+    but the conv zero-pads (the ghost-line corrections) — this is what the
+    UNetSimple decoder blocks run (models/unet_simple.py)."""
+    from dyffusion_tpu.ops.upfirdn2d import bilinear_upsample_conv_2d
+
+    rng = np.random.RandomState(H * 100 + W)
+    x = jnp.asarray(rng.randn(2, H, W, C), jnp.float32)
+    w = jnp.asarray(rng.randn(k, k, C, O), jnp.float32)
+    U = jax.image.resize(x, (2, 2 * H, 2 * W, C), method="bilinear")
+    ref = jax.lax.conv_general_dilated(
+        U, w, (1, 1), ((p, p), (p, p)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    fused = bilinear_upsample_conv_2d(x, w, padding=p)
+    assert fused.shape == ref.shape == (2, 2 * H, 2 * W, O)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-5)
+
+
+def test_bilinear_upsample_conv_2d_matches_torch_pair():
+    """Golden cross-check vs torch nn.Upsample(bilinear) + Conv2d — the
+    literal reference decoder pattern (ref unet_simple.py:13-82)."""
+    torch = pytest.importorskip("torch")
+    from dyffusion_tpu.ops.upfirdn2d import bilinear_upsample_conv_2d
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, 3, 6, 5).astype(np.float32)  # NCHW for torch
+    w = (rng.randn(4, 3, 3, 3) * 0.2).astype(np.float32)  # OIHW
+    with torch.no_grad():
+        u = torch.nn.functional.interpolate(
+            torch.from_numpy(x), scale_factor=2, mode="bilinear", align_corners=False
+        )
+        ref = torch.nn.functional.conv2d(u, torch.from_numpy(w), padding=1).numpy()
+    fused = bilinear_upsample_conv_2d(
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(w.transpose(2, 3, 1, 0)),
+        padding=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused).transpose(0, 3, 1, 2), ref, atol=2e-5
+    )
+
+
+def test_bilinear_upsample_conv_2d_differentiable():
+    from dyffusion_tpu.ops.upfirdn2d import bilinear_upsample_conv_2d
+
+    x = jax.random.normal(jax.random.key(5), (1, 4, 4, 2))
+    w = jax.random.normal(jax.random.key(6), (3, 3, 2, 3)) * 0.1
+    g = jax.grad(lambda a, b: jnp.sum(bilinear_upsample_conv_2d(a, b, 1) ** 2), argnums=(0, 1))(x, w)
+    assert all(bool(jnp.all(jnp.isfinite(gi))) for gi in g)

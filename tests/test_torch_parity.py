@@ -311,3 +311,134 @@ def test_gaussian_diffusion_buffers_match_reference():
                     rtol=2e-5, atol=1e-7,
                     err_msg=f"{name} ({schedule}, hardcode={hardcode})",
                 )
+
+
+# ---------------------------------------------------------------------------
+# reference UNet simple (the Navier-Stokes backbone) — weight-ported parity.
+# Covers the FUSED bilinear-up2+conv decoder blocks and the no-antialias
+# outer resample against the literal torch pipeline (ref unet_simple.py:85-197).
+# ---------------------------------------------------------------------------
+def _port_unet_simple_weights(ref_model):
+    sd = dict(ref_model.state_dict())
+    params = {
+        "init_conv": {
+            "kernel": _t2f_conv(sd["init_conv.weight"]),
+            "bias": _np(sd["init_conv.bias"]),
+        },
+        "time_emb": {
+            "Dense_0": {
+                "kernel": _t2f_dense(sd["time_emb_mlp.1.weight"]),
+                "bias": _np(sd["time_emb_mlp.1.bias"]),
+            },
+            "Dense_1": {
+                "kernel": _t2f_dense(sd["time_emb_mlp.3.weight"]),
+                "bias": _np(sd["time_emb_mlp.3.bias"]),
+            },
+        },
+        "readout": {
+            # torch ConvTranspose2d (I, O, kh, kw) -> flax (kh, kw, I, O)
+            # with SPATIALLY FLIPPED taps (torch CT convolves, flax correlates)
+            "kernel": np.ascontiguousarray(
+                _np(sd["readout.0.weight"])[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
+            ),
+            "bias": _np(sd["readout.0.bias"]),
+        },
+    }
+    batch_stats = {}
+    for kind, our_prefix, conv_idx, norm_idx in (
+        ("input_ops", "enc", 0, 1),
+        ("output_ops", "dec", 1, 2),
+    ):
+        for i in range(6):
+            tp = f"{kind}.{i}"
+            blk = {
+                "conv": {
+                    "kernel": _t2f_conv(sd[f"{tp}.ops.{conv_idx}.weight"]),
+                    "bias": _np(sd[f"{tp}.ops.{conv_idx}.bias"]),
+                },
+                "norm": {
+                    "scale": _np(sd[f"{tp}.ops.{norm_idx}.weight"]),
+                    "bias": _np(sd[f"{tp}.ops.{norm_idx}.bias"]),
+                },
+                "time_mlp": {
+                    "kernel": _t2f_dense(sd[f"{tp}.time_mlp.1.weight"]),
+                    "bias": _np(sd[f"{tp}.time_mlp.1.bias"]),
+                },
+            }
+            params[f"{our_prefix}{i}"] = blk
+            if f"{tp}.ops.{norm_idx}.running_mean" in sd:  # BatchNorm blocks
+                batch_stats[f"{our_prefix}{i}"] = {
+                    "norm": {
+                        "mean": _np(sd[f"{tp}.ops.{norm_idx}.running_mean"]),
+                        "var": _np(sd[f"{tp}.ops.{norm_idx}.running_var"]),
+                    }
+                }
+    return params, batch_stats
+
+
+def test_unet_simple_forward_parity_weight_ported():
+    """Fused-decoder UNetSimple == literal torch reference (<=1e-3) for ported
+    weights, randomized BatchNorm running stats, eval mode, non-square grid
+    (exercises the outer bilinear resample both directions)."""
+    import jax.numpy as jnp
+
+    ref_mod = import_reference("src.models.unet_simple")
+    torch.manual_seed(0)
+    ref_model = ref_mod.UNet(
+        dim=4,
+        with_time_emb=True,
+        outer_sample_mode="bilinear",
+        upsample_dims=(64, 64),
+        dropout=0.0,
+        input_dropout=0.0,
+        num_input_channels=3,
+        num_output_channels=3,
+        num_conditional_channels=2,
+        spatial_shape=(11, 7),
+    )
+    # randomize BN running stats so eval-mode normalization is non-trivial
+    g = np.random.default_rng(1)
+    with torch.no_grad():
+        for m in ref_model.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.from_numpy(
+                    g.normal(size=m.running_mean.shape).astype(np.float32) * 0.3))
+                m.running_var.copy_(torch.from_numpy(
+                    g.uniform(0.5, 1.5, size=m.running_var.shape).astype(np.float32)))
+    ref_model.eval()
+
+    from dyffusion_tpu.models.unet_simple import UNetSimple
+
+    ours = UNetSimple(
+        dim=4,
+        num_input_channels=3,
+        num_output_channels=3,
+        num_conditional_channels=2,
+        with_time_emb=True,
+        outer_sample_mode="bilinear",
+        upsample_dims=(64, 64),
+        dropout=0.0,
+        input_dropout=0.0,
+    )
+    params, batch_stats = _port_unet_simple_weights(ref_model)
+
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(2, 3, 11, 7)).astype(np.float32)
+    cond = rng.normal(size=(2, 2, 11, 7)).astype(np.float32)
+    time = np.asarray([1.0, 4.0], np.float32)
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            torch.from_numpy(x), time=torch.from_numpy(time), condition=torch.from_numpy(cond)
+        ).numpy()
+
+    out = ours.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+        time=jnp.asarray(time),
+        condition=jnp.asarray(np.transpose(cond, (0, 2, 3, 1))),
+        deterministic=True,
+        train=False,
+    )
+    out = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(out, ref_out, rtol=1e-3, atol=1e-3)
