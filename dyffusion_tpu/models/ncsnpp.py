@@ -381,5 +381,7 @@ class NCSNpp(nn.Module):
                     h = Upsample(out_ch=in_ch, with_conv=True, name=f"up{j}_upsample")(h)
         assert not hs
 
-        h = nn.silu(nn.GroupNorm(num_groups=_groups(in_ch), epsilon=1e-6, name="norm_out")(h))
+        # eps=1e-5: the final act-norm is get_act_norm("group") -> get_norm
+        # (ref layerspp.py:546), NOT the attention block's 1e-6 GroupNorm
+        h = nn.silu(nn.GroupNorm(num_groups=_groups(in_ch), epsilon=1e-5, name="norm_out")(h))
         return ddpm_conv(self.num_output_channels, 3, name="conv_out", init_scale=0.0)(h)
