@@ -21,7 +21,7 @@ from dyffusion_tpu.models.modules import TimeEmbedder
 Array = jnp.ndarray
 
 
-def get_norm(name: str, dim: int, train: bool):
+def get_norm(name: str, dim: int, train: bool, num_groups: Optional[int] = None):
     """Normalization factory (ref ``utils.py:175-198``)."""
     name = (name or "none").lower()
     if name == "none":
@@ -32,7 +32,10 @@ def get_norm(name: str, dim: int, train: bool):
     if name == "layer_norm":
         return nn.LayerNorm(epsilon=1e-5)
     if "group" in name:
-        groups = max((dim // n for n in range(2, 17) if dim % n == 0), default=None)
+        # explicit num_groups wins (ConvBlock passes 32, ref
+        # simple_conv_net.py:29); the divisor inference is the fallback
+        # (ref utils.py:191-196)
+        groups = num_groups or max((dim // n for n in range(2, 17) if dim % n == 0), default=None)
         if groups is None:
             raise ValueError(f"group norm cannot infer groups for dim={dim}")
         return nn.GroupNorm(num_groups=groups, epsilon=1e-5)
@@ -69,7 +72,7 @@ class ConvBlock(nn.Module):
             padding=((pad, pad), (pad, pad)),
             name="conv",
         )(x)
-        norm = get_norm(self.net_normalization, self.dim_out, train)
+        norm = get_norm(self.net_normalization, self.dim_out, train, num_groups=32)
         h = norm(h)
         if self.use_time_emb and time_emb is not None:
             emb = nn.Dense(self.dim_out * 2, name="time_mlp")(nn.silu(time_emb))[:, None, None, :]

@@ -442,3 +442,109 @@ def test_unet_simple_forward_parity_weight_ported():
     )
     out = np.transpose(np.asarray(out), (0, 3, 1, 2))
     np.testing.assert_allclose(out, ref_out, rtol=1e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# reference SimpleConvNet (the spring-mesh backbone) — weight-ported parity.
+# Completes the backbone golden set (Unet, UNetSimple, NCSNpp, SimpleConvNet).
+# ---------------------------------------------------------------------------
+def test_simple_conv_net_forward_parity_weight_ported():
+    """conv->BN->FiLM->GELU->residual stack + 1x1 head vs the literal torch
+    reference (ref simple_conv_net.py:12-131), eval mode, randomized BN
+    running stats, time embedding on."""
+    import jax.numpy as jnp
+
+    ref_mod = import_reference("src.models.simple_conv_net")
+    torch.manual_seed(1)
+    ref_model = ref_mod.SimpleConvNet(
+        dim=16,
+        with_time_emb=True,
+        net_normalization="batch_norm",
+        kernel_sizes=(7, 3, 3),
+        residual=True,
+        dropout=0.0,
+        num_input_channels=4,
+        num_output_channels=4,
+        num_conditional_channels=1,
+        spatial_shape=(10, 10),
+    )
+    g = np.random.default_rng(6)
+    with torch.no_grad():
+        for m in ref_model.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.copy_(torch.from_numpy(
+                    g.normal(size=m.running_mean.shape).astype(np.float32) * 0.3))
+                m.running_var.copy_(torch.from_numpy(
+                    g.uniform(0.5, 1.5, size=m.running_var.shape).astype(np.float32)))
+    ref_model.eval()
+
+    from dyffusion_tpu.models.simple_conv_net import SimpleConvNet
+
+    ours = SimpleConvNet(
+        dim=16,
+        num_input_channels=4,
+        num_output_channels=4,
+        num_conditional_channels=1,
+        with_time_emb=True,
+        net_normalization="batch_norm",
+        kernel_sizes=(7, 3, 3),
+        residual=True,
+        dropout=0.0,
+    )
+    sd = dict(ref_model.state_dict())
+    params = {
+        "time_emb": {
+            "Dense_0": {
+                "kernel": _t2f_dense(sd["time_emb_mlp.1.weight"]),
+                "bias": _np(sd["time_emb_mlp.1.bias"]),
+            },
+            "Dense_1": {
+                "kernel": _t2f_dense(sd["time_emb_mlp.3.weight"]),
+                "bias": _np(sd["time_emb_mlp.3.bias"]),
+            },
+        },
+        "head": {"kernel": _t2f_1x1(sd["head.weight"]), "bias": _np(sd["head.bias"])},
+    }
+    batch_stats = {}
+    for i in range(3):
+        params[f"conv{i}"] = {
+            "conv": {
+                "kernel": _t2f_conv(sd[f"convs.{i}.conv.weight"]),
+                "bias": _np(sd[f"convs.{i}.conv.bias"]),
+            },
+            "BatchNorm_0": {
+                "scale": _np(sd[f"convs.{i}.norm.weight"]),
+                "bias": _np(sd[f"convs.{i}.norm.bias"]),
+            },
+            "time_mlp": {
+                "kernel": _t2f_dense(sd[f"convs.{i}.time_mlp.1.weight"]),
+                "bias": _np(sd[f"convs.{i}.time_mlp.1.bias"]),
+            },
+        }
+        batch_stats[f"conv{i}"] = {
+            "BatchNorm_0": {
+                "mean": _np(sd[f"convs.{i}.norm.running_mean"]),
+                "var": _np(sd[f"convs.{i}.norm.running_var"]),
+            }
+        }
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(2, 4, 10, 10)).astype(np.float32)
+    cond = rng.normal(size=(2, 1, 10, 10)).astype(np.float32)
+    time = np.asarray([2.0, 9.0], np.float32)
+
+    with torch.no_grad():
+        ref_out = ref_model(
+            torch.from_numpy(x), time=torch.from_numpy(time), condition=torch.from_numpy(cond)
+        ).numpy()
+
+    out = ours.apply(
+        {"params": params, "batch_stats": batch_stats},
+        jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+        time=jnp.asarray(time),
+        condition=jnp.asarray(np.transpose(cond, (0, 2, 3, 1))),
+        deterministic=True,
+        train=False,
+    )
+    out = np.transpose(np.asarray(out), (0, 3, 1, 2))
+    np.testing.assert_allclose(out, ref_out, rtol=1e-4, atol=1e-4)
