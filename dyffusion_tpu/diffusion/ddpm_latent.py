@@ -100,11 +100,17 @@ class LatentDDPMEngine:
         self.posterior_mean_coef1 = f32(betas * np.sqrt(ac_prev) / (1.0 - ac))
         self.posterior_mean_coef2 = f32((1.0 - ac_prev) * np.sqrt(alphas) / (1.0 - ac))
 
-        # VLB weights (ref :146-162); index 0 copies index 1
-        if config.parameterization == "pred_noise":
-            lvlb = betas**2 / (2 * post_var * alphas * (1 - ac))
-        else:
-            lvlb = 0.5 * np.sqrt(ac) / (2.0 * 1 - ac)
+        # VLB weights (ref :146-162); index 0 copies index 1. Computed in
+        # float32 from the f32-cast buffers, exactly as the reference does
+        # (its ``to_torch`` buffers are f32 before this formula runs) — the
+        # index-0 division by post_var=0 yields inf and is overwritten.
+        b32, pv32 = betas.astype(np.float32), post_var.astype(np.float32)
+        a32, ac32 = alphas.astype(np.float32), ac.astype(np.float32)
+        with np.errstate(divide="ignore"):
+            if config.parameterization == "pred_noise":
+                lvlb = b32**2 / (2 * pv32 * a32 * (1 - ac32))
+            else:
+                lvlb = 0.5 * np.sqrt(ac32) / (2.0 * 1 - ac32)
         lvlb[0] = lvlb[1]
         self.lvlb_weights = f32(lvlb)
         assert not np.isnan(lvlb).all()

@@ -89,14 +89,18 @@ class McvdEngine:
 
         T = config.timesteps
         # MCVD index convention: arrays run big-noise -> small-noise
-        # (ref mcvd.py:40-47)
+        # (ref mcvd.py:40-47). All buffer math stays in float32 to match the
+        # reference's torch-f32 cumprod chain bit-for-bit: the 1/(1-alpha)
+        # sampler coefficients amplify the f32-vs-f64 cumprod difference to
+        # ~1e-3 relative, which golden-parity tests (and checkpoints trained
+        # against the reference) are sensitive to.
         if config.beta_schedule == "linear":
-            betas = get_sigmas("linear", config.sigma_begin, config.sigma_end, T)
-            alphas = np.cumprod(1.0 - betas[::-1])[::-1]
-            alphas_prev = np.concatenate([alphas[1:], [1.0]])
+            betas = get_sigmas("linear", config.sigma_begin, config.sigma_end, T).astype(np.float32)
+            alphas = np.cumprod((1.0 - betas)[::-1])[::-1]
+            alphas_prev = np.concatenate([alphas[1:], np.ones(1, np.float32)])
         elif config.beta_schedule == "cosine":
-            alphas = get_sigmas("cosine", config.sigma_begin, config.sigma_end, T)
-            alphas_prev = np.concatenate([alphas[1:], [1.0]])
+            alphas = get_sigmas("cosine", config.sigma_begin, config.sigma_end, T).astype(np.float32)
+            alphas_prev = np.concatenate([alphas[1:], np.ones(1, np.float32)])
             betas = 1.0 - alphas / alphas_prev
         else:
             raise ValueError(f"beta_schedule {config.beta_schedule} not supported")
@@ -105,7 +109,7 @@ class McvdEngine:
         f32 = lambda a: jnp.asarray(np.ascontiguousarray(a), jnp.float32)
         self.betas, self.alphas, self.alphas_prev = f32(betas), f32(alphas), f32(alphas_prev)
         if config.gamma:
-            theta_0 = 0.001
+            theta_0 = np.float32(0.001)
             k = betas / (alphas * theta_0**2)  # (ref mcvd.py:50-58)
             k_cum = np.cumsum(k[::-1])[::-1]
             theta_t = np.sqrt(alphas) * theta_0
@@ -159,7 +163,9 @@ class McvdEngine:
             skip = len(alphas) // cfg.sampling_timesteps
             steps = np.arange(0, len(alphas), skip)
             alphas = alphas[steps]
-            alphas_prev = np.concatenate([alphas[1:], [1.0]])
+            # stay in f32 like the reference ("we lose a bit of precision
+            # here", ref ddpm_sampler :289)
+            alphas_prev = np.concatenate([alphas[1:], np.ones(1, np.float32)])
             betas = 1.0 - alphas / alphas_prev
         else:
             alphas, alphas_prev, betas = alphas[steps], alphas_prev[steps], betas[steps]
@@ -212,8 +218,11 @@ class McvdEngine:
             return x_new, None
 
         x, _ = jax.lax.scan(body, x0_mod, xs)
-        if cfg.sampling_denoise:  # final denoise (ref :407-411)
-            t_b = jnp.full((B,), float(steps[-1]))
+        if cfg.sampling_denoise:  # final denoise (ref :405-408); NOTE the
+            # reference conditions this call on num_steps-1 (the step COUNT),
+            # not steps[-1] (the original index) — they differ under
+            # subsampling; we match the reference.
+            t_b = jnp.full((B,), float(n - 1))
             x = x - jnp.sqrt(1.0 - alphas[-1]) * self.scorenet_apply(variables, x, t_b, condition, None)
         return x
 
@@ -242,7 +251,9 @@ class McvdEngine:
 
         x, _ = jax.lax.scan(body, x0_mod, xs)
         if cfg.sampling_denoise:
-            t_b = jnp.full((B,), float(steps[-1]))
+            # ref ddim_sampler :232-234 conditions on L-1 (step count), as in
+            # ddpm_sample above
+            t_b = jnp.full((B,), float(len(steps) - 1))
             x = x - jnp.sqrt(1.0 - alphas[-1]) * self.scorenet_apply(variables, x, t_b, condition, None)
         return x
 
@@ -267,8 +278,12 @@ class McvdEngine:
             return self.scorenet_apply(variables, xv, t, condition, None)
 
         def transfer(xv, t, t_next, et):
-            at = alphas_old[(t + 1).astype(jnp.int32)].reshape(-1, 1, 1, 1)
-            at_next = alphas_old[(t_next + 1).astype(jnp.int32)].reshape(-1, 1, 1, 1)
+            # NB the reference indexes ``alphas_cump[t.long() + 1]`` — it
+            # TRUNCATES t toward zero FIRST, then adds 1 (pndm.py:24-25).
+            # For the fractional RK midpoints this differs from trunc(t+1):
+            # t=-0.5 gives index trunc(-0.5)+1 = 1, not trunc(0.5) = 0.
+            at = alphas_old[t.astype(jnp.int32) + 1].reshape(-1, 1, 1, 1)
+            at_next = alphas_old[t_next.astype(jnp.int32) + 1].reshape(-1, 1, 1, 1)
             x_delta = (at_next - at) * (
                 (1.0 / (jnp.sqrt(at) * (jnp.sqrt(at) + jnp.sqrt(at_next)))) * xv
                 - 1.0
