@@ -497,7 +497,9 @@ def anneal_langevin_dynamics_consistent(
 
     x, _ = jax.lax.scan(body, x_init, xs)
     if denoise:
-        t_b = jnp.full((B,), float(sigmas_np[-1]))
+        # ref :694-697: the final denoise conditions on the integer label
+        # len(sigmas)-1 (y_is_label=True there), NOT the continuous sigma
+        t_b = jnp.full((B,), L - 1, jnp.float32)
         x = x - sigmas_np[-1] * scorenet_apply(variables, x, t_b, condition, None)
     return x
 
@@ -515,12 +517,24 @@ def sparse_anneal_langevin_dynamics_consistent(
     denoise: bool = True,
 ) -> Array:
     """Sparse variant of CAS (ref ``sparse_anneal_Langevin_dynamics_consistent
-    :738-857``): the dense chain drives the scorenet; the sparse chain gets
-    grad/sparsity and noise*sparsity."""
+    :738-857``), transcribed LITERALLY — and the upstream semantics are odd:
+    the dense chain is updated with ``x += eta*sigma_c**2 * grad`` (sign and
+    sigma power differ from dense CAS, ref :805), the SPARSE chain receives
+    only the scaled noise during the loop (never the score, ref :829-830),
+    and the final denoise runs the scorenet twice — once to denoise the dense
+    chain, then again on the DENOISED dense chain to update the sparse one
+    with ``+ sigmas[-1]/sparsity`` (ref :812-815). Preserved as documented
+    parity with the reference's unreachable-from-config sampler library."""
     B = x_init.shape[0]
     sigmas_np = np.asarray(sigmas, np.float64)
     L = len(sigmas_np)
     ladder = np.geomspace(sigmas_np[0], sigmas_np[-1], (L - 1) * n_steps_each + 1)
+    smallest_invgamma = ladder[-1] / ladder[-2]
+    lowerbound = sigmas_np[-1] ** 2 * (1 - smallest_invgamma)
+    higherbound = sigmas_np[-1] ** 2 * (1 + smallest_invgamma)
+    assert lowerbound < step_lr < higherbound, (
+        f"consistent sampling needs {lowerbound} < step_lr < {higherbound}, got {step_lr}"
+    )
     eta = step_lr / float(sigmas_np[-1] ** 2)
     sig_c = ladder
     sig_next = np.concatenate([ladder[1:], [ladder[-1]]])
@@ -539,22 +553,21 @@ def sparse_anneal_langevin_dynamics_consistent(
     def body(carry, inp):
         x, x_sparse = carry
         s_c, s_next, b, i = inp
-        t_b = jnp.full((B,), s_c)
+        t_b = jnp.full((B,), s_c)  # continuous sigma conditioning (ref :794-800)
         grad = scorenet_apply(variables, x, t_b, condition, None)
         noise = jax.random.normal(jax.random.fold_in(rng, i), x.shape)
         keep = i + 1 < n
-        x_new = x - eta * s_c * grad + jnp.where(keep, b * s_next, 0.0) * noise
-        x_sparse_new = (
-            x_sparse
-            - eta * s_c * (grad / sparsity)
-            + jnp.where(keep, b * s_next, 0.0) * (sparsity * noise)
-        )
+        x_new = x + eta * s_c**2 * grad + jnp.where(keep, s_next * b, 0.0) * noise
+        x_sparse_new = x_sparse + jnp.where(keep, s_next * b, 0.0) * (sparsity * noise)
         return (x_new, x_sparse_new), None
 
     (x, x_sparse), _ = jax.lax.scan(body, (x_init, jnp.array(x_init)), xs)
     if denoise:
-        t_b = jnp.full((B,), float(sigmas_np[-1]))
-        x_sparse = x_sparse - sigmas_np[-1] * sparsity * scorenet_apply(variables, x, t_b, condition, None)
+        t_b = jnp.full((B,), L - 1, jnp.float32)  # integer label (ref :812)
+        x_den = x + sigmas_np[-1] * scorenet_apply(variables, x, t_b, condition, None)
+        x_sparse = x_sparse + sigmas_np[-1] / sparsity * scorenet_apply(
+            variables, x_den, t_b, condition, None
+        )
     return x_sparse
 
 

@@ -25,11 +25,24 @@ def load_standalone(name: str, path: str):
     return mod
 
 
+def _stub_module(name: str) -> types.ModuleType:
+    """A sys.modules stub that survives third-party introspection: tools like
+    ``torch._dynamo.trace_rules`` walk sys.modules calling
+    ``importlib.util.find_spec`` (raises if ``__spec__`` is None) and
+    ``inspect.getsourcefile`` (needs a string ``__file__``)."""
+    import importlib.machinery
+
+    mod = types.ModuleType(name)
+    mod.__file__ = f"<{name}-stub>"
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return mod
+
+
 def _install_stubs():
     import torch.nn as nn
 
     if "omegaconf" not in sys.modules:
-        om = types.ModuleType("omegaconf")
+        om = _stub_module("omegaconf")
 
         class DictConfig(dict):
             pass
@@ -48,7 +61,7 @@ def _install_stubs():
         sys.modules["omegaconf"] = om
 
     if "pytorch_lightning" not in sys.modules:
-        pl = types.ModuleType("pytorch_lightning")
+        pl = _stub_module("pytorch_lightning")
 
         class _HParams(dict):
             """dict + attribute access (what the reference touches on
@@ -94,7 +107,7 @@ def _install_stubs():
                 pass
 
         pl.LightningDataModule = LightningDataModule
-        util = types.ModuleType("pytorch_lightning.utilities")
+        util = _stub_module("pytorch_lightning.utilities")
         util.__path__ = []  # mark as package so submodule imports resolve
 
         def rank_zero_only(fn):
@@ -103,7 +116,7 @@ def _install_stubs():
         rank_zero_only.rank = 0
         util.rank_zero_only = rank_zero_only
         pl.utilities = util
-        pl_types = types.ModuleType("pytorch_lightning.utilities.types")
+        pl_types = _stub_module("pytorch_lightning.utilities.types")
         pl_types.EVAL_DATALOADERS = object
         pl_types.TRAIN_DATALOADERS = object
         pl_types.STEP_OUTPUT = object
@@ -113,7 +126,7 @@ def _install_stubs():
         sys.modules["pytorch_lightning.utilities.types"] = pl_types
 
     if "tensordict" not in sys.modules:
-        td = types.ModuleType("tensordict")
+        td = _stub_module("tensordict")
 
         class TensorDict(dict):
             pass
@@ -122,12 +135,12 @@ def _install_stubs():
         sys.modules["tensordict"] = td
 
     if "wandb" not in sys.modules:
-        wb = types.ModuleType("wandb")
+        wb = _stub_module("wandb")
         wb.run = None
         sys.modules["wandb"] = wb
 
     if "torchmetrics" not in sys.modules:
-        tm = types.ModuleType("torchmetrics")
+        tm = _stub_module("torchmetrics")
 
         class MeanSquaredError(nn.Module):
             def forward(self, a, b):
@@ -147,7 +160,7 @@ def _install_stubs():
         sys.modules["torchmetrics"] = tm
 
     if "xskillscore" not in sys.modules:
-        xs = types.ModuleType("xskillscore")
+        xs = _stub_module("xskillscore")
         xs.__is_stub__ = True  # lets other tests detect this isn't the real lib
 
         def crps_ensemble(*a, **k):
@@ -160,7 +173,7 @@ def _install_stubs():
         try:
             import xarray  # noqa: F401
         except ImportError:
-            xr = types.ModuleType("xarray")
+            xr = _stub_module("xarray")
             xr.__is_stub__ = True
 
             class DataArray:
