@@ -24,7 +24,10 @@ jax.config.update(
 
 NS = [
     "datamodule.n_traj=5",
-    "datamodule.n_time=21",  # val split: 1 trajectory -> exactly 4 windows (21-17+1... adjusted below)
+    # val split: 1 trajectory, 20-17+1 = exactly 4 windows = ONE full eval
+    # batch (a partial remainder batch would be padded and the padded rows
+    # burn sampler compute without earning frame credit)
+    "datamodule.n_time=20",
     "datamodule.spatial=(221,42)",
     "datamodule.channels=3",
     "datamodule.conditional_channels=2",
