@@ -145,14 +145,31 @@ class DataModule:
             device_put=device_put,
         )
 
+    def _balanced_eval_batch_size(self, n: int) -> int:
+        """Minimal-padding eval batch size: the same NUMBER of batches as
+        ``eval_batch_size`` would give, but sized so batches differ by at
+        most one row. The Trainer pads every eval batch to one compile
+        shape, and padded rows burn full sampler compute without earning
+        any metric credit — e.g. 5 examples at eval_batch_size=4 would run
+        4+4 padded rows for 5 rows of credit; balanced (3+2, padded to 3)
+        runs 6."""
+        if n <= 0:
+            return self.eval_batch_size
+        B = min(self.eval_batch_size, n)
+        n_batches = -(-n // B)
+        return -(-n // n_batches)
+
     def val_batches(self):
-        return self.split("val").batches(self.eval_batch_size)
+        split = self.split("val")
+        return split.batches(self._balanced_eval_batch_size(len(split)))
 
     def test_batches(self):
-        return self.split("test").batches(self.eval_batch_size)
+        split = self.split("test")
+        return split.batches(self._balanced_eval_batch_size(len(split)))
 
     def predict_batches(self):
-        return self.split("predict").batches(self.eval_batch_size)
+        split = self.split("predict")
+        return split.batches(self._balanced_eval_batch_size(len(split)))
 
     # -- physics hooks ----------------------------------------------------
     def boundary_conditions(self, preds, targets, metadata=None, time=None):

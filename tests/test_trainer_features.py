@@ -118,3 +118,29 @@ def test_watch_gradients_per_module_norms(tmp_path):
     assert any("final_res_block" in k for k in grad_keys)
     for k in grad_keys:
         assert np.isfinite(float(metrics[k]))
+
+
+def test_balanced_eval_batching_minimizes_padding():
+    """Eval splits batch with balanced sizes: same batch COUNT as
+    eval_batch_size, but sizes differing by at most one row, so the padded
+    compile shape wastes at most one row per batch (padded rows burn
+    sampler compute without metric credit)."""
+    from dyffusion_tpu.data.base import DataModule, DatasetSplit
+
+    dm = DataModule(batch_size=8, eval_batch_size=4)
+    for n, expected_sizes in [
+        (5, [3, 2]),       # naive 4+1 would pad 3 rows; balanced pads 1
+        (8, [4, 4]),
+        (9, [3, 3, 3]),    # naive 4+4+1 pads 3; balanced pads 0
+        (3, [3]),          # under one batch: single full batch
+        (12, [4, 4, 4]),
+    ]:
+        dm._splits = {"val": DatasetSplit({"x": np.arange(n, dtype=np.float32)[:, None]})}
+        batches = list(dm.val_batches())
+        sizes = [b["x"].shape[0] for b in batches]
+        assert sizes == expected_sizes, (n, sizes)
+        # same number of batches as plain eval_batch_size chunking
+        assert len(sizes) == -(-n // 4)
+        # all rows exactly once, in order
+        np.testing.assert_array_equal(
+            np.concatenate([b["x"][:, 0] for b in batches]), np.arange(n, dtype=np.float32))
