@@ -102,3 +102,34 @@ def test_varying_member_sweep():
     assert sweep["crps"].shape == (6,)
     # CRPS should generally improve (decrease) with more members for iid noise
     assert sweep["crps"][-1] <= sweep["crps"][0]
+
+
+def test_lr_schedules_match_literal_reference():
+    """All three LDM-style schedules vs the LITERAL reference module
+    (``src/utilities/lr_scheduler.py``, standalone numpy) over a step sweep
+    spanning warmup, decay, cycle boundaries, and past-the-end clamping."""
+    from tests._reference_import import load_standalone
+    from dyffusion_tpu.training.optim import (
+        linear_schedule,
+        warmup_cosine_schedule,
+        warmup_cosine_schedule2,
+    )
+
+    ref = load_standalone("ref_lr_scheduler", "/root/reference/src/utilities/lr_scheduler.py")
+
+    r1 = ref.LambdaWarmUpCosineScheduler(
+        warm_up_steps=10, lr_min=0.01, lr_max=1.0, lr_start=0.001, max_decay_steps=100)
+    s1 = warmup_cosine_schedule(
+        warm_up_steps=10, lr_min=0.01, lr_max=1.0, lr_start=0.001, max_decay_steps=100)
+    for n in [0, 1, 5, 9, 10, 11, 50, 99, 100, 150]:
+        np.testing.assert_allclose(float(s1(n)), r1(n), rtol=1e-6, err_msg=f"cosine n={n}")
+
+    kw = dict(warm_up_steps=[5, 3], f_min=[0.1, 0.05], f_max=[1.0, 0.5],
+              f_start=[0.0, 0.01], cycle_lengths=[20, 30])
+    r2 = ref.LambdaWarmUpCosineScheduler2(**kw)
+    s2 = warmup_cosine_schedule2(**kw)
+    r3 = ref.LambdaLinearScheduler(**kw)
+    s3 = linear_schedule(**kw)
+    for n in [0, 2, 4, 5, 6, 15, 19, 20, 21, 24, 25, 40, 49]:
+        np.testing.assert_allclose(float(s2(n)), r2(n), rtol=1e-6, err_msg=f"cosine2 n={n}")
+        np.testing.assert_allclose(float(s3(n)), r3(n), rtol=1e-6, err_msg=f"linear n={n}")
