@@ -53,9 +53,9 @@ _DATASETS: Dict[str, Dict[str, Any]] = {
             "batch_size": 64, "eval_batch_size": 16, "horizon": 134,
             "prediction_horizon": 804, "window": 1,
         },
-        "model": {"name": "cnn_simple", "dim": 128, "net_normalization": "batch_norm"},
+        "model": {"name": "cnn_simple", "dim": 64, "net_normalization": "batch_norm"},  # ref model/cnn_simple.yaml:7 dim 64
         "module": {"optimizer": {"name": "adamw", "lr": 4e-4, "weight_decay": 1e-4}},
-        "trainer": {"max_epochs": 300, "gradient_clip_val": 1.0},
+        "trainer": {"max_epochs": 300, "gradient_clip_val": 1.0, "accumulate_grad_batches": 1},  # ref spring_mesh.yaml:28
     },
     "navier_stokes": {
         "datamodule": {
@@ -102,6 +102,7 @@ _METHODS: Dict[str, Dict[str, Any]] = {
         "model": {"with_time_emb": True},
         "diffusion": {
             "name": "dyffusion",
+            "loss_function": "l1",  # ref configs/diffusion/_base.yaml:14
             "interpolator_run_id": None,
             "interpolator_use_ema": False,
             "lambda_reconstruction": 0.5,
@@ -133,6 +134,8 @@ _METHODS: Dict[str, Dict[str, Any]] = {
         "model": {"with_time_emb": True},
         "diffusion": {
             "name": "ddpm",
+            "loss_function": "l1",  # ref configs/diffusion/_base.yaml:14
+            "hardcode_betaN": False,  # ref configs/diffusion/denoising.yaml:10
             "timesteps": 1000,
             "sampling_timesteps": None,
             "objective": "pred_noise",
@@ -147,6 +150,7 @@ _METHODS: Dict[str, Dict[str, Any]] = {
         "model": {"with_time_emb": True},
         "diffusion": {
             "name": "ddpm_v2",
+            "loss_function": "l1",  # ref configs/diffusion/_base.yaml:14
             "timesteps": 1000,
             "beta_schedule": "linear",
             "parameterization": "pred_noise",  # ref objective: "pred_noise"
@@ -169,6 +173,7 @@ _METHODS: Dict[str, Dict[str, Any]] = {
         "model": {"with_time_emb": True},
         "diffusion": {
             "name": "mcvd",
+            "loss_function": "l1",  # ref configs/diffusion/_base.yaml:14
             "version": "DDPM",
             "timesteps": 1000,
             "beta_schedule": "linear",
@@ -177,7 +182,9 @@ _METHODS: Dict[str, Dict[str, Any]] = {
             "gamma": False,
             "noise_in_cond": False,
             "sampling_denoise": True,
-            "sampling_timesteps": 100,
+            # ref _base.yaml sampling_timesteps: null — the reference samples
+            # with ALL timesteps (subsampling stays a user override)
+            "sampling_timesteps": None,
         },
     },
 }
@@ -224,6 +231,17 @@ _COMBO: Dict[str, Dict[str, Any]] = {
     "navier_stokes_time_conditioned": {"model": {"dropout": 0.2}},
     # ref spring_mesh_time_conditioned.yaml:13-14
     "spring_mesh_time_conditioned": {"model": {"dropout": 0.05}},
+    # ref oisst_pacific_ddpm.yaml: unlike navier_stokes_ddpm / spring_mesh_ddpm
+    # / oisst_pacific_mcvd, this experiment does NOT set model.with_time_emb
+    # back to True — the module group (with_time_emb False) composes after
+    # diffusion/_base (True), so the literal reference runs OISST-DDPM with
+    # the time embedding OFF. Preserved for exact preset parity.
+    "oisst_pacific_ddpm": {"model": {"with_time_emb": False}},
+    # same literal-composition quirk: spring_mesh_{ddpm,mcvd} never set
+    # model.with_time_emb back to True either (only the NS ddpm/mcvd and
+    # OISST mcvd experiment bodies do)
+    "spring_mesh_ddpm": {"model": {"with_time_emb": False}},
+    "spring_mesh_mcvd": {"model": {"with_time_emb": False}},
     # ref oisst_pacific_at_once.yaml:12-20 (the "Simultaneous" baseline)
     "oisst_pacific_simultaneous": {
         "model": {"block_dropout": 0.6, "block_dropout1": 0.3, "attn_dropout": 0.6},

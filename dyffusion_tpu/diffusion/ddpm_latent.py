@@ -45,6 +45,9 @@ class LatentDDPMConfig:
     logvar_init: float = 0.0
     hardcode_betaN: bool = False
     clip_denoised: bool = False
+    # 'l1'/'mae' or 'l2'/'mse' (ref get_loss_value :286-295; 'mse' default
+    # matches the class default, the composed configs pass 'l1')
+    loss_function: str = "mse"
 
     def __post_init__(self):
         assert self.parameterization in ("pred_noise", "pred_x0")
@@ -137,7 +140,12 @@ class LatentDDPMEngine:
         model_out = self.denoiser_apply(variables, x_noisy, t.astype(jnp.float32), condition, k_drop)
         target = noise if cfg.parameterization == "pred_noise" else x_start
 
-        per_row = jnp.mean((model_out - target) ** 2, axis=tuple(range(1, x_start.ndim)))
+        # per-row loss (ref get_loss_value :286-295): l1 or squared, then
+        # mean over non-batch axes — the composed reference configs use l1
+        # (configs/diffusion/_base.yaml loss_function: "l1")
+        err = model_out - target
+        per_elem = jnp.abs(err) if cfg.loss_function in ("l1", "mae") else err**2
+        per_row = jnp.mean(per_elem, axis=tuple(range(1, x_start.ndim)))
         loss_simple = jnp.mean(per_row)
         if logvar is not None:
             lv_t = logvar[t.astype(jnp.int32)]

@@ -187,12 +187,17 @@ def build_experiment(
             num_input_channels=dims["input"],
             **{k: (tuple(v) if isinstance(v, list) else v) for k, v in diff_cfg.items() if k in dyff_fields and k != "num_input_channels"},
         )
+        from dyffusion_tpu.utils.loss import get_loss_fn as _get_loss_fn
+
         engine = DyffusionEngine(
             eng_cfg,
             forecaster_apply=fc_apply,
             interpolator_apply=ip_apply,
             interpolator_horizon=exp_cfg.horizon,
             forecaster_train_apply=fc_train_apply,
+            # ref composed configs pass loss_function ("l1" via
+            # configs/diffusion/_base.yaml) to the DYffusion constructor
+            criterion=_get_loss_fn(diff_cfg.get("loss_function", "mse")),
         )
         exp.model = model
         exp.engine = engine
@@ -240,12 +245,21 @@ def build_experiment(
         if is_diffusion:
             H, W = dims["spatial"]
             sample_shape = (H, W, dims["output"] * exp_cfg.horizon)
+            # the reference's composed diffusion configs train with L1
+            # (configs/diffusion/_base.yaml loss_function: "l1" — passed to
+            # every diffusion _target_ constructor)
+            from dyffusion_tpu.utils.loss import get_loss_fn
+
+            diff_criterion = get_loss_fn(diff_cfg.get("loss_function", "mse"))
             if diff_name == "ddpm":
                 g_fields = set(GaussianDiffusionConfig.__dataclass_fields__)
                 g_cfg = GaussianDiffusionConfig(
                     **{k: v for k, v in diff_cfg.items() if k in g_fields}
                 )
-                engine = GaussianDiffusionEngine(g_cfg, denoiser_apply=apply_fn, sample_shape=sample_shape)
+                engine = GaussianDiffusionEngine(
+                    g_cfg, denoiser_apply=apply_fn, sample_shape=sample_shape,
+                    criterion=diff_criterion,
+                )
             elif diff_name == "ddpm_v2":
                 # LDM-style DDPM (ref configs/diffusion/denoising_v2.yaml ->
                 # src/diffusion/ddpm.py:28-424)
@@ -265,7 +279,10 @@ def build_experiment(
 
                 m_fields = set(McvdConfig.__dataclass_fields__)
                 m_cfg = McvdConfig(**{k: v for k, v in diff_cfg.items() if k in m_fields})
-                engine = McvdEngine(m_cfg, scorenet_apply=apply_fn, sample_shape=sample_shape)
+                engine = McvdEngine(
+                    m_cfg, scorenet_apply=apply_fn, sample_shape=sample_shape,
+                    criterion=diff_criterion,
+                )
             exp.diffusion_engine = engine
         exp.model = model
         loss_fn = exp.make_loss_fn(train_apply)

@@ -3,7 +3,7 @@
 
 Same shape as the reference spring-mesh config (10x10 grid, C=4 +1 condition
 channel, horizon 134 -> 804 prediction horizon = 6 AR windows, SimpleConvNet
-dim 128 with BatchNorm; ref ``configs/experiment/spring_mesh.yaml:12-17``,
+dim 64 with BatchNorm; ref ``configs/experiment/spring_mesh.yaml:12-17`` + ``model/cnn_simple.yaml:7``,
 ``dataset_dimensions.py:15-17``), through the product ``Trainer.evaluate``
 path (bf16 + member folding + streaming metrics).
 
@@ -37,7 +37,7 @@ SM = [
     "datamodule.batch_size=6",
     "datamodule.eval_batch_size=6",
     "model.name=cnn_simple",
-    "model.dim=128",
+    "model.dim=64",  # ref model/cnn_simple.yaml:7
     "model.net_normalization=batch_norm",
     "model.dropout=0.05",
     "module.num_predictions=20",
