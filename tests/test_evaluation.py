@@ -114,3 +114,42 @@ def test_nll_and_corr_match_reference_formulas():
     mean_preds = preds.mean(0)
     ref_corr = np.corrcoef(mean_preds.reshape(1, -1), y.reshape(1, -1), rowvar=False)[0, 1]
     assert np.isclose(float(corr_ensemble(preds, y)), ref_corr, rtol=1e-5)
+
+
+def test_metrics_match_literal_reference_numpy():
+    """SSR / NLL / ensemble-mean MSE / Pearson corr vs the LITERAL reference
+    functions (``src/utilities/evaluation.py:99-142`` — pure numpy; the
+    xskillscore-backed CRPS is covered separately vs brute force)."""
+    import pytest as _pytest
+
+    _pytest.importorskip("torch")  # reference import machinery needs stubs
+    from tests._reference_import import import_reference
+
+    ref = import_reference("src.utilities.evaluation")
+    from dyffusion_tpu.utils.evaluation import (
+        corr_ensemble,
+        mse_ensemble,
+        nll_ensemble,
+        spread_skill_ratio,
+    )
+
+    rng = np.random.default_rng(23)
+    N, B, H, W = 5, 4, 6, 6
+    preds = rng.normal(size=(N, B, H, W)).astype(np.float32)
+    targets = rng.normal(size=(B, H, W)).astype(np.float32)
+
+    np.testing.assert_allclose(
+        float(mse_ensemble(preds, targets)),
+        float(ref.evaluate_ensemble_mse(preds, targets)), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(spread_skill_ratio(preds, targets)),
+        float(ref.evaluate_ensemble_spread_skill_ratio(preds, targets)), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(corr_ensemble(preds, targets)),
+        float(ref.evaluate_ensemble_corr(preds, targets)), rtol=1e-5)
+
+    mean_p = preds.mean(axis=0)
+    var_p = preds.var(axis=0) + 0.1  # strictly positive variance
+    np.testing.assert_allclose(
+        float(nll_ensemble(mean_p, var_p, targets)),
+        float(np.mean(ref.evaluate_ensemble_nll(mean_p, var_p, targets))), rtol=1e-6)
