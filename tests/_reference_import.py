@@ -79,11 +79,19 @@ def _install_stubs():
             ``hparams`` (what the reference actually touches)."""
 
             def save_hyperparameters(self, *args, ignore=None, **kw):
+                # Lightning walks the whole __init__ call chain, so a call
+                # from a BASE __init__ still captures SUBCLASS ctor args
+                # (e.g. InterpolationExperiment.stack_window_to_channel_dim
+                # is read via hparams inside BaseExperiment.__init__).
                 f = inspect.currentframe().f_back
-                code = f.f_code
-                arg_names = code.co_varnames[1 : code.co_argcount]
-                captured = {n: f.f_locals.get(n) for n in arg_names}
-                captured.update(f.f_locals.get("kwargs") or {})
+                captured = {}
+                while f is not None and f.f_code.co_name == "__init__":
+                    code = f.f_code
+                    arg_names = code.co_varnames[1 : code.co_argcount]
+                    frame_args = {n: f.f_locals.get(n) for n in arg_names}
+                    frame_args.update(f.f_locals.get("kwargs") or {})
+                    captured.update(frame_args)  # outer (subclass) wins
+                    f = f.f_back
                 for ig in ignore or []:
                     captured.pop(ig, None)
                 merged = dict(getattr(self, "_stub_hparams", {}))
