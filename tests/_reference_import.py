@@ -115,6 +115,32 @@ def _install_stubs():
                 pass
 
         pl.LightningDataModule = LightningDataModule
+
+        class Callback:  # base class only (wandb_callbacks subclasses it)
+            pass
+
+        class Trainer:  # referenced in type annotations only
+            pass
+
+        pl.Callback = Callback
+        pl.Trainer = Trainer
+        pl.__path__ = []  # mark as package so pl.callbacks resolves
+        cb_mod = _stub_module("pytorch_lightning.callbacks")
+
+        class ModelCheckpoint(Callback):
+            pass
+
+        cb_mod.ModelCheckpoint = ModelCheckpoint
+        pl.callbacks = cb_mod
+        sys.modules["pytorch_lightning.callbacks"] = cb_mod
+        lg_mod = _stub_module("pytorch_lightning.loggers")
+
+        class WandbLogger:
+            pass
+
+        lg_mod.WandbLogger = WandbLogger
+        pl.loggers = lg_mod
+        sys.modules["pytorch_lightning.loggers"] = lg_mod
         util = _stub_module("pytorch_lightning.utilities")
         util.__path__ = []  # mark as package so submodule imports resolve
 

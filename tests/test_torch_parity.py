@@ -106,10 +106,6 @@ def _np(t):
 
 def _port_resblock(sd, prefix, has_residual):
     p = {
-        "time_mlp": {
-            "kernel": _t2f_dense(sd[f"{prefix}.mlp.1.weight"]),
-            "bias": _np(sd[f"{prefix}.mlp.1.bias"]),
-        },
         "block1_conv": {
             "kernel": _t2f_conv(sd[f"{prefix}.block1.proj.weight"]),
             "bias": _np(sd[f"{prefix}.block1.proj.bias"]),
@@ -131,6 +127,11 @@ def _port_resblock(sd, prefix, has_residual):
         p["residual_proj"] = {
             "kernel": _t2f_1x1(sd[f"{prefix}.residual_conv.weight"]),
             "bias": _np(sd[f"{prefix}.residual_conv.bias"]),
+        }
+    if f"{prefix}.mlp.1.weight" in sd:  # FiLM mlp absent when with_time_emb=False
+        p["time_mlp"] = {
+            "kernel": _t2f_dense(sd[f"{prefix}.mlp.1.weight"]),
+            "bias": _np(sd[f"{prefix}.mlp.1.bias"]),
         }
     return p
 
@@ -158,16 +159,6 @@ def _port_unet_weights(ref_model, n_levels):
             "kernel": _t2f_conv(sd["init_conv.weight"]),
             "bias": _np(sd["init_conv.bias"]),
         },
-        "time_emb": {
-            "Dense_0": {
-                "kernel": _t2f_dense(sd["time_emb_mlp.1.weight"]),
-                "bias": _np(sd["time_emb_mlp.1.bias"]),
-            },
-            "Dense_1": {
-                "kernel": _t2f_dense(sd["time_emb_mlp.3.weight"]),
-                "bias": _np(sd["time_emb_mlp.3.bias"]),
-            },
-        },
         "final_res_block": _port_resblock(sd, "final_res_block", has_residual=True),
         "final_conv": {
             "kernel": _t2f_1x1(sd["final_conv.weight"]),
@@ -177,6 +168,17 @@ def _port_unet_weights(ref_model, n_levels):
         "mid_block2": _port_resblock(sd, "mid_block2", has_residual=False),
         "mid_attn": _port_attn(sd, "mid_attn.fn", kind="full"),
     }
+    if "time_emb_mlp.1.weight" in sd:  # absent when with_time_emb=False
+        params["time_emb"] = {
+            "Dense_0": {
+                "kernel": _t2f_dense(sd["time_emb_mlp.1.weight"]),
+                "bias": _np(sd["time_emb_mlp.1.bias"]),
+            },
+            "Dense_1": {
+                "kernel": _t2f_dense(sd["time_emb_mlp.3.weight"]),
+                "bias": _np(sd["time_emb_mlp.3.bias"]),
+            },
+        }
     for i in range(n_levels):
         is_last = i == n_levels - 1
         params[f"down{i}_block1"] = _port_resblock(sd, f"downs.{i}.0", has_residual=False)

@@ -161,3 +161,114 @@ def test_monitor_and_horizon_range_match_reference(setup):
     assert list(ref_exp.horizon_range) == list(range(1, HORIZON))
     # CRPS monitor auto-selection semantics (ref config_utils.py:188-195)
     assert ours.default_monitor == "val/avg/mse"  # num_predictions == 1 here
+
+
+@pytest.fixture(scope="module")
+def fc_setup():
+    """The two non-diffusion forecasting baselines (ref
+    ``forecasting_multi_horizon.py:427-499``) with weight-ported backbones."""
+    _install_hydra_stub()
+    fmh = import_reference("src.experiment_types.forecasting_multi_horizon")
+
+    datamodule_config = _Cfg(
+        _target_="src.datamodules.physical_systems_benchmark.PhysicalSystemsBenchmarkDataModule",
+        physical_system="spring-mesh", window=WINDOW, horizon=HORIZON,
+    )
+
+    def build(ref_cls, with_time_emb, out_mult):
+        model_config = _Cfg(
+            _target_="src.models.unet.Unet",
+            dim=8, dim_mults=[1, 2], resnet_block_groups=4,
+            with_time_emb=with_time_emb,
+        )
+        exp = ref_cls(
+            model_config=model_config, datamodule_config=datamodule_config,
+            diffusion_config=None, monitor=None, num_predictions=1, verbose=False,
+        )
+        exp.eval()
+        assert exp.model.hparams["num_output_channels"] == C * out_mult
+        return exp
+
+    ref_sim = build(fmh.SimultaneousMultiHorizonForecasting, False, HORIZON)
+    ref_tc = build(fmh.MultiHorizonForecastingTimeConditioned, True, 1)
+
+    rng = np.random.default_rng(37)
+    dynamics = rng.normal(size=(B, WINDOW + HORIZON, HGT, WID, C)).astype(np.float32)
+    condition = rng.normal(size=(B, HGT, WID, SC)).astype(np.float32)
+    return ref_sim, ref_tc, dynamics, condition
+
+
+def _our_fc(kind, ref_model, with_time_emb, out_mult):
+    from dyffusion_tpu.experiments.base import ExperimentConfig
+    from dyffusion_tpu.experiments.forecasting import (
+        SimultaneousForecastingExperiment,
+        TimeConditionedForecastingExperiment,
+    )
+    from dyffusion_tpu.models import Unet, make_train_apply_fn
+
+    dims = {"input": C, "output": C, "spatial": (HGT, WID), "conditional": SC}
+    cfg = ExperimentConfig(window=WINDOW, horizon=HORIZON, num_predictions=1,
+                           loss_function="mse")
+    cls = (SimultaneousForecastingExperiment if kind == "sim"
+           else TimeConditionedForecastingExperiment)
+    try:
+        exp = cls(cfg, dims)
+    except TypeError:
+        exp = cls(cfg, dims, is_diffusion=False)
+    model = Unet(
+        dim=8, dim_mults=(1, 2), resnet_block_groups=4,
+        with_time_emb=with_time_emb,
+        num_input_channels=WINDOW * C, num_output_channels=C * out_mult,
+        num_conditional_channels=SC,
+    )
+    variables = {"params": _port_unet_weights(ref_model, n_levels=2)}
+    return exp, exp.make_loss_fn(make_train_apply_fn(model, has_batch_stats=False)), variables
+
+
+def test_simultaneous_get_loss_matches_literal_reference(fc_setup):
+    """Predict all h steps at once: targets = frames w..w+h-1 channel-folded
+    t-major (ref :475-483) — fully deterministic, same weights both sides."""
+    ref_sim, _ref_tc, dynamics, condition = fc_setup
+    exp, loss_fn, variables = _our_fc("sim", ref_sim.model, False, HORIZON)
+
+    loss, _ = loss_fn(
+        variables,
+        {"dynamics": jnp.asarray(dynamics), "condition": jnp.asarray(condition)},
+        jax.random.key(41),
+    )
+    batch = {
+        "dynamics": torch.from_numpy(np.moveaxis(dynamics, -1, 2)),
+        "condition": _nchw(condition),
+    }
+    with torch.no_grad():
+        ref_loss = ref_sim.get_loss(batch)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-4)
+
+
+def test_time_conditioned_get_loss_matches_literal_reference(fc_setup):
+    """Random t ~ U{1..h} per row conditions the backbone; target =
+    dynamics[:, w+t-1] (ref :435-451) — the reference replays our draws."""
+    _ref_sim, ref_tc, dynamics, condition = fc_setup
+    exp, loss_fn, variables = _our_fc("tc", ref_tc.model, True, 1)
+
+    key = jax.random.key(43)
+    k_t, _ = jax.random.split(key)
+    t_ours = np.asarray(jax.random.randint(k_t, (B,), 1, HORIZON + 1))
+
+    loss, _ = loss_fn(
+        variables,
+        {"dynamics": jnp.asarray(dynamics), "condition": jnp.asarray(condition)},
+        key,
+    )
+    batch = {
+        "dynamics": torch.from_numpy(np.moveaxis(dynamics, -1, 2)),
+        "condition": _nchw(condition),
+    }
+    orig_randint = torch.randint
+    torch.randint = lambda *a, **kw: torch.from_numpy(t_ours.astype(np.int64))
+    try:
+        with torch.no_grad():
+            ref_loss = ref_tc.get_loss(batch)
+    finally:
+        torch.randint = orig_randint
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-4)
