@@ -15,5 +15,11 @@ quality:
 bench:
 	python bench.py
 
+bench-train:
+	python scripts/bench_train.py
+
+bench-schedule-quality:
+	python scripts/bench_schedule_quality.py
+
 dryrun:
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"

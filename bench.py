@@ -86,6 +86,33 @@ def build_trainer():
     )
 
 
+def bench_train_step(trainer, batch_size: int = 64, steps: int = 20) -> dict:
+    """Product stage-2 train step (two-term p_losses + Adam + EMA, donated
+    state) at the reference SST train batch (oisst_pacific.yaml: 64) —
+    the train half of the perf story (VERDICT r2 next #1). Timing ends with a
+    real device->host read (block_until_ready is unreliable here, PERF.md)."""
+    import time
+
+    import numpy as np
+
+    tensors = trainer.datamodule.split("train").tensors
+    n = next(iter(tensors.values())).shape[0]
+    idx = np.arange(batch_size) % n
+    batch = trainer._put({k: np.asarray(v)[idx] for k, v in tensors.items()})
+    state, m = trainer.train_step(trainer.state, batch)  # warmup/compile
+    float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = trainer.train_step(state, batch)
+    float(m["loss"])  # sync
+    dt = (time.perf_counter() - t0) / steps
+    return {
+        "train_steps_per_sec": round(1.0 / dt, 3),
+        "train_examples_per_sec": round(batch_size / dt, 1),
+        "train_batch": batch_size,
+    }
+
+
 def main():
     trainer = build_trainer()
     # warmup + compile (cached across runs via .jax_cache/)
@@ -96,6 +123,7 @@ def main():
         metrics = trainer.evaluate("val")
         best = max(best, metrics["val/frames_per_sec_per_chip"])
     fps_per_chip = best
+    train = bench_train_step(trainer)
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
     if os.path.exists(baseline_path):
@@ -106,6 +134,18 @@ def main():
         with open(baseline_path, "w") as f:
             json.dump({"value": baseline, "note": "first measured value (round 1)"}, f)
 
+    # honest same-host reference comparison, when the torch-CPU bench has run
+    # (scripts/bench_torch_reference.py writes torch_reference_bench.json)
+    torch_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "torch_reference_bench.json"
+    )
+    vs_torch = None
+    if os.path.exists(torch_path):
+        with open(torch_path) as f:
+            tb = json.load(f)
+        if tb.get("sampling_fps"):
+            vs_torch = round(fps_per_chip / tb["sampling_fps"], 2)
+
     print(
         json.dumps(
             {
@@ -113,6 +153,9 @@ def main():
                 "value": round(fps_per_chip, 2),
                 "unit": "frames/sec/chip (60x60 SST, h=7, k=25, 20-member ensemble, batch 6; Trainer.evaluate product path)",
                 "vs_baseline": round(fps_per_chip / baseline, 3),
+                "baseline": "this repo's round-1 f32 product path (bench_baseline.json) — the reference publishes no numbers (BASELINE.md)",
+                "vs_torch_cpu_reference": vs_torch,
+                **train,
             }
         )
     )

@@ -243,6 +243,13 @@ class DyffusionConfig:
     lambda_reconstruction2: float = 0.0
     num_input_channels: int = 1  # C of a single dynamics frame (for x_s init slice)
     scan_unroll: int = 1  # lax.scan unroll factor for the sampler body
+    # mixed-precision TRAINING lever: run the frozen interpolator's forwards
+    # inside p_losses in bf16 (params + inputs cast per call, outputs back to
+    # f32; forecaster + loss + grads stay f32). The first q_sample carries no
+    # gradient at all (pure data path); the λ2 q_sample backprops through its
+    # INPUT in bf16 — the same autocast boundary Lightning precision=16 would
+    # use on the ref's frozen interpolator (``dyffusion.py:496-567``).
+    train_interpolator_dtype: Optional[str] = None  # None | 'bfloat16'
 
     def __post_init__(self):
         assert self.forward_conditioning in ("data", "none", "data+noise")
@@ -454,13 +461,40 @@ class DyffusionEngine:
         # ``do_enable = self.training or self.enable_interpolator_dropout``)
         ip_rng1 = k_ip1
 
+        # frozen-interpolator mixed precision (train_interpolator_dtype)
+        ip_dt = (
+            jnp.bfloat16
+            if cfg.train_interpolator_dtype in ("bfloat16", "bf16")
+            else None
+        )
+        if ip_dt is not None:
+            ip_params_run = jax.tree_util.tree_map(
+                lambda x: x.astype(ip_dt)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                ip_params,
+            )
+            sc_run = None if static_condition is None else static_condition.astype(ip_dt)
+        else:
+            ip_params_run, sc_run = ip_params, static_condition
+
+        def run_q_sample(x0, x_end, t_q, key):
+            """q_sample at the engine's interpolator precision; f32 out."""
+            if ip_dt is None:
+                return self.q_sample(
+                    ip_params, x0=x0, x_end=x_end, t=t_q,
+                    static_condition=static_condition, dropout_rng=key,
+                )
+            out = self.q_sample(
+                ip_params_run, x0=x0.astype(ip_dt), x_end=x_end.astype(ip_dt),
+                t=t_q, static_condition=sc_run, dropout_rng=key,
+            )
+            return out.astype(jnp.float32)
+
         t = t.astype(jnp.float32)
         # 1) build forecaster inputs: x_t = interpolated frame for t>0, condition for t==0
         t_safe = jnp.maximum(t, 1.0)
-        x_interpolated = self.q_sample(
-            ip_params, x0=xt_last, x_end=condition, t=t_safe,
-            static_condition=static_condition, dropout_rng=ip_rng1,
-        )
+        x_interpolated = run_q_sample(xt_last, condition, t_safe, ip_rng1)
         nonzero = (t > 0).reshape((-1,) + (1,) * (condition.ndim - 1))
         x_t = jnp.where(nonzero, x_interpolated.astype(condition.dtype), condition)
 
@@ -486,10 +520,7 @@ class DyffusionEngine:
         if lam2 > 0:
             mask2 = (t <= self.num_timesteps - 2).astype(jnp.float32)
             t2 = jnp.minimum(t + 1.0, float(self.num_timesteps - 1))
-            x_interpolated2 = self.q_sample(
-                ip_params, x0=xt_last_pred, x_end=condition, t=t2,
-                static_condition=static_condition, dropout_rng=k_ip2,
-            )
+            x_interpolated2 = run_q_sample(xt_last_pred, condition, t2, k_ip2)
             x_last_pred2 = self.predict_x_last(
                 fc_params, condition, x_interpolated2, t2, static_condition,
                 dropout_rng=k_fc2, noise_rng=k_n2,

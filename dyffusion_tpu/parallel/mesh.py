@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -45,22 +46,76 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def process_local_rows(global_shape, sharding) -> slice:
+    """Row slice (axis 0) of a globally row-sharded array owned by THIS
+    process, derived from the sharding's own device->index map (not assumed).
+
+    Every host materializes batches with GLOBAL indices (identical shuffle
+    permutations from identically-seeded rngs — the analogue of the
+    reference's DistributedSampler seed contract under Lightning DDP,
+    ``configs/trainer/ddp.yaml:5``); this slice is the only part each host
+    transfers to its chips.
+    """
+    idx_map = sharding.addressable_devices_indices_map(tuple(global_shape))
+    n = int(global_shape[0])
+    spans = set()
+    for idx in idx_map.values():
+        r = idx[0]
+        spans.add((r.start or 0, n if r.stop is None else r.stop))
+    spans = sorted(spans)
+    lo, hi = spans[0][0], spans[-1][1]
+    # the process's rows must be contiguous for a single np slice
+    cursor = lo
+    for start, stop in spans:
+        assert start == cursor, (
+            f"non-contiguous process-local rows {spans}; this sharding cannot "
+            "be fed from a contiguous per-process slice"
+        )
+        cursor = stop
+    assert cursor == hi
+    return slice(lo, hi)
+
+
+def put_array(v: Any, sharding: NamedSharding):
+    """ONE code path for 1..N processes: place a GLOBAL host array sharded
+    over the data axis. Under multi-process each host transfers only its
+    process-local row slice (``jax.make_array_from_process_local_data``)."""
+    v = np.asarray(v)
+    if jax.process_count() > 1:
+        sl = process_local_rows(v.shape, sharding)
+        return jax.make_array_from_process_local_data(sharding, v[sl], v.shape)
+    return jax.device_put(v, sharding)
+
+
 def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place a host batch sharded over the data axis. Under multi-host this is
-    where per-process shards combine into one global array."""
+    """Place a host batch sharded over the data axis. Under multi-host each
+    process contributes its own row slice (see :func:`put_array`)."""
     sh = batch_sharding(mesh)
-    out = {}
-    for k, v in batch.items():
-        v = np.asarray(v)
-        if jax.process_count() > 1:
-            out[k] = jax.make_array_from_process_local_data(sh, v)
-        else:
-            out[k] = jax.device_put(v, sh)
-    return out
+    return {k: put_array(v, sh) for k, v in batch.items()}
+
+
+def put_replicated(x, rep: NamedSharding):
+    """Place one value fully replicated over a (possibly multi-process) mesh.
+
+    ``jax.device_put`` rejects shardings that span non-addressable devices, so
+    under multi-process the global array is assembled with
+    ``make_array_from_callback`` (each process supplies its addressable
+    replicas; replication requires no communication — every host already
+    holds the full value). Typed PRNG keys are unwrapped/rewrapped since
+    their raw data carries a trailing impl dimension.
+    """
+    if jax.process_count() <= 1:
+        return jax.device_put(x, rep)
+    if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+        data = np.asarray(jax.random.key_data(x))
+        raw = jax.make_array_from_callback(data.shape, rep, lambda idx: data[idx])
+        return jax.random.wrap_key_data(raw)
+    v = np.asarray(x)
+    return jax.make_array_from_callback(v.shape, rep, lambda idx: v[idx])
 
 
 def shard_train_state(state, mesh: Mesh):
     """Replicate the whole train state over the mesh (params, EMA, opt state
     — the DDP layout)."""
     rep = replicate(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+    return jax.tree_util.tree_map(lambda x: put_replicated(x, rep), state)

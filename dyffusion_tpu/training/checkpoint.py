@@ -54,6 +54,8 @@ class CheckpointManager:
         return {}
 
     def _write_meta(self, **updates) -> None:
+        if jax.process_index() != 0:
+            return
         meta = self._read_meta()
         meta.update(updates)
         with open(os.path.join(self.run_dir, "meta.json"), "w") as f:
@@ -62,6 +64,8 @@ class CheckpointManager:
     def save_config(self, config: Dict[str, Any]) -> None:
         """Persist the full run config (the local analogue of uploading
         hydra_config.yaml to the cloud, ``config_utils.py:588-608``)."""
+        if jax.process_index() != 0:
+            return
         with open(os.path.join(self.run_dir, "config.json"), "w") as f:
             json.dump(config, f, indent=2, default=str)
 
@@ -72,12 +76,17 @@ class CheckpointManager:
     def _save_slot(self, slot: str, state_tree) -> None:
         path = self._slot_dir(slot)
         tmp = path + ".tmp"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        self._ckpt.save(tmp, _tree_to_saveable(state_tree))  # synchronous save
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.replace(tmp, path)
+        # ALL processes must call orbax save — it synchronizes hosts
+        # internally and only the primary host writes data (returning early on
+        # rank!=0 would deadlock its barriers). The train state is replicated
+        # (DDP layout), so host arrays are identical across processes.
+        self._ckpt.save(tmp, _tree_to_saveable(state_tree), force=True)
+        # host-side promotion of tmp -> slot is rank-zero-only (orbax's save
+        # barrier has completed on every process by this point)
+        if jax.process_index() == 0:
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.replace(tmp, path)
 
     def save_last(self, state_tree, step: int) -> None:
         self._save_slot("last", state_tree)

@@ -1,0 +1,109 @@
+"""Sampling-schedule DSL speed/quality frontier (VERDICT r2 next #4).
+
+The reference documents the schedule DSL as the sampling-acceleration path
+(``configs/diffusion/dyffusion.yaml``: "Accelerate sampling when k > 0";
+setter ``dyffusion.py:246-333``) but never quantifies its quality cost. This
+script trains a REAL two-stage DYffusion model at the SST scale (60x60 grid,
+dim-64 ResNet UNet, h=7, k=25) on the learnable synthetic traveling-wave
+data, then evaluates the SAME trained checkpoint under each sampling
+schedule through the product ``mode=test`` path (``reload_and_test``),
+reporting CRPS / MSE / SSR alongside frames/sec/chip.
+
+    python scripts/bench_schedule_quality.py [--epochs 8] [--registry DIR]
+
+Output: one JSON line per schedule + a markdown table for PERF.md.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
+SST = [
+    "datamodule.n_traj=24",
+    "datamodule.n_time=60",
+    "datamodule.spatial=(60,60)",
+    "datamodule.channels=1",
+    "datamodule.horizon=7",
+    "datamodule.batch_size=64",
+    "datamodule.eval_batch_size=6",
+    "model.dim=64",
+    "model.dim_mults=(1,2,4)",
+    "model.block_dropout=0.3",
+    "model.attn_dropout=0.1",
+    "module.num_predictions=20",
+    "module.num_predictions_test=20",
+    "module.eval_dtype=bfloat16",
+    "module.fold_members_into_batch=True",
+    "diffusion.additional_interpolation_steps=25",
+]
+
+SCHEDULES = [None, "every2", "every3", "first0.5"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--registry", default="/tmp/sched_quality_registry")
+    ap.add_argument("--schedules", nargs="*", default=None)
+    args = ap.parse_args()
+
+    from dyffusion_tpu.config import get_config
+    from dyffusion_tpu.interface import reload_and_test, run_experiment
+
+    common = SST + [
+        f"registry_dir={args.registry}",
+        f"trainer.max_epochs={args.epochs}",
+        f"trainer.val_every_n_epochs={max(args.epochs // 2, 1)}",
+    ]
+    cfg1 = get_config("synthetic_interpolation", common)
+    trainer1, best1 = run_experiment(cfg1)
+    run1 = os.path.basename(trainer1.ckpt.run_dir)
+    print(json.dumps({"stage1_best_crps": best1, "run": run1}))
+
+    cfg2 = get_config(
+        "synthetic_dyffusion", common + [f"diffusion.interpolator_run_id={run1}"]
+    )
+    trainer2, best2 = run_experiment(cfg2)
+    run2 = os.path.basename(trainer2.ckpt.run_dir)
+    print(json.dumps({"stage2_best_crps": best2, "run": run2}))
+
+    schedules = args.schedules if args.schedules is not None else SCHEDULES
+    rows = []
+    for sched in schedules:
+        ov = [] if sched in (None, "None") else [f"diffusion.sampling_schedule={sched}"]
+        _, trainer = reload_and_test(args.registry, run2, overrides=ov, return_trainer=True)
+        m = trainer.test(save_curves=False)  # warm re-run: fps without compile
+        n_steps = len(trainer.experiment.engine.sampling_schedule)
+        row = {
+            "schedule": sched or "full",
+            "n_sampler_steps": n_steps,
+            "crps": round(m["test/crps"], 5),
+            "mse": round(m["test/mse"], 5),
+            "ssr": round(m["test/ssr"], 4),
+            "frames_per_sec_per_chip": round(m["test/frames_per_sec_per_chip"], 1),
+        }
+        rows.append(row)
+        print(json.dumps(row))
+
+    # markdown table for PERF.md
+    print("\n| schedule | sampler steps | CRPS | MSE | SSR | frames/s/chip |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print(
+            f"| {r['schedule']} | {r['n_sampler_steps']} | {r['crps']} | "
+            f"{r['mse']} | {r['ssr']} | {r['frames_per_sec_per_chip']} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

