@@ -11,6 +11,7 @@ test-fast:
 
 quality:
 	python -m compileall -q dyffusion_tpu bench.py __graft_entry__.py
+	python scripts/check_citations.py
 
 bench:
 	python bench.py

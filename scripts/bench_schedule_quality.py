@@ -47,7 +47,18 @@ SST = [
     "diffusion.additional_interpolation_steps=25",
 ]
 
-SCHEDULES = [None, "every2", "every3", "first0.5"]
+# (schedule, sampling_type) points on the speed/quality frontier. 'naive'
+# (ref sampling_type, dyffusion.py:335-426) costs ONE interpolator call per
+# step instead of cold's two — note cold-with-cached-current-interpolation
+# telescopes algebraically to exactly this chain, so naive IS the
+# "skip the second interpolator call" acceleration.
+POINTS = [
+    (None, "cold"),
+    ("every2", "cold"),
+    ("every3", "cold"),
+    ("first0.5", "cold"),
+    (None, "naive"),
+]
 
 
 def main():
@@ -77,15 +88,22 @@ def main():
     run2 = os.path.basename(trainer2.ckpt.run_dir)
     print(json.dumps({"stage2_best_crps": best2, "run": run2}))
 
-    schedules = args.schedules if args.schedules is not None else SCHEDULES
+    points = (
+        [(s if s != "None" else None, "cold") for s in args.schedules]
+        if args.schedules is not None
+        else POINTS
+    )
     rows = []
-    for sched in schedules:
+    for sched, stype in points:
         ov = [] if sched in (None, "None") else [f"diffusion.sampling_schedule={sched}"]
+        if stype != "cold":
+            ov.append(f"diffusion.sampling_type={stype}")
         _, trainer = reload_and_test(args.registry, run2, overrides=ov, return_trainer=True)
         m = trainer.test(save_curves=False)  # warm re-run: fps without compile
         n_steps = len(trainer.experiment.engine.sampling_schedule)
         row = {
             "schedule": sched or "full",
+            "sampling_type": stype,
             "n_sampler_steps": n_steps,
             "crps": round(m["test/crps"], 5),
             "mse": round(m["test/mse"], 5),
@@ -96,12 +114,12 @@ def main():
         print(json.dumps(row))
 
     # markdown table for PERF.md
-    print("\n| schedule | sampler steps | CRPS | MSE | SSR | frames/s/chip |")
-    print("|---|---|---|---|---|---|")
+    print("\n| schedule | type | sampler steps | CRPS | MSE | SSR | frames/s/chip |")
+    print("|---|---|---|---|---|---|---|")
     for r in rows:
         print(
-            f"| {r['schedule']} | {r['n_sampler_steps']} | {r['crps']} | "
-            f"{r['mse']} | {r['ssr']} | {r['frames_per_sec_per_chip']} |"
+            f"| {r['schedule']} | {r['sampling_type']} | {r['n_sampler_steps']} | "
+            f"{r['crps']} | {r['mse']} | {r['ssr']} | {r['frames_per_sec_per_chip']} |"
         )
 
 

@@ -23,12 +23,14 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
@@ -39,7 +41,7 @@ V5E_PEAK_F32 = 98.3e12
 
 SST = [
     "datamodule.n_traj=16",
-    "datamodule.n_time=13",
+    "datamodule.n_time=20",  # train split: 9 traj x 13 windows >= batch 64
     "datamodule.spatial=(60,60)",
     "datamodule.channels=1",
     "datamodule.horizon=7",
@@ -115,12 +117,12 @@ def main():
 
     results = {}
     cfg1, dm, ip_model, loss1, state1, batch1 = _build("synthetic_interpolation", overrides)
+    ip_apply = make_apply_fn(ip_model)
+    # deep-copy BEFORE benchmarking: the bench loop donates state1's buffers
+    ip_vars = {"params": jax.tree_util.tree_map(jnp.array, state1.params)}
     if args.stage in ("1", "all"):
         results["stage1_interpolation"] = bench_step(loss1, state1, batch1, args.steps, peak)
         print("stage1:", json.dumps(results["stage1_interpolation"]))
-
-    ip_apply = make_apply_fn(ip_model)
-    ip_vars = {"params": state1.params}
 
     if args.stage in ("2", "all"):
         _, _, _, loss2, state2, batch2 = _build(
