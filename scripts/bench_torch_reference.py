@@ -41,7 +41,19 @@ def main():
                         "+ Adam) on the forecaster, frozen interpolator")
     p.add_argument("--jax-platform", default="cpu",
                    help="'cpu' (default, same-silicon) or '' for session default (TPU)")
+    p.add_argument("--mults", default="1,2", help="dim_mults, comma-separated")
+    p.add_argument("--groups", type=int, default=4, help="resnet_block_groups")
+    p.add_argument("--no-refine", action="store_true",
+                   help="disable refine_intermediate_predictions both sides "
+                        "(matches the SST bench workload)")
+    p.add_argument("--write-json", default=None,
+                   help="also write the result (incl. sampling_fps = the torch "
+                        "frames/sec) to this path; bench.py reads "
+                        "torch_reference_bench.json at the repo root for its "
+                        "vs_torch_cpu_reference field")
     args = p.parse_args()
+    mults = tuple(int(m) for m in args.mults.split(","))
+    refine = not args.no_refine
 
     if args.jax_platform:
         import jax
@@ -68,12 +80,12 @@ def main():
 
     torch.manual_seed(0)
     ref_fc = ref_unet_mod.Unet(
-        dim=args.dim, dim_mults=(1, 2), resnet_block_groups=4, with_time_emb=True,
+        dim=args.dim, dim_mults=mults, resnet_block_groups=args.groups, with_time_emb=True,
         num_input_channels=C, num_output_channels=C,
         num_conditional_channels=C + SC, spatial_shape=(args.spatial, args.spatial))
     torch.manual_seed(1)
     ref_ip = ref_unet_mod.Unet(
-        dim=args.dim, dim_mults=(1, 2), resnet_block_groups=4, with_time_emb=True,
+        dim=args.dim, dim_mults=mults, resnet_block_groups=args.groups, with_time_emb=True,
         num_input_channels=2 * C, num_output_channels=C,
         num_conditional_channels=SC, spatial_shape=(args.spatial, args.spatial))
     ref_fc.eval(), ref_ip.eval()
@@ -84,7 +96,7 @@ def main():
         timesteps=H, forward_conditioning="data", schedule="before_t1_only",
         additional_interpolation_steps=K, interpolate_before_t1=True,
         sampling_type="cold", time_encoding="dynamics",
-        refine_intermediate_predictions=True,
+        refine_intermediate_predictions=refine,
         lambda_reconstruction=0.5, lambda_reconstruction2=0.5,
         enable_interpolator_dropout=False,
     )
@@ -93,21 +105,21 @@ def main():
     from dyffusion_tpu.diffusion import DyffusionConfig, DyffusionEngine
     from dyffusion_tpu.models import Unet, make_apply_fn
 
-    ours_fc = Unet(dim=args.dim, dim_mults=(1, 2), resnet_block_groups=4,
+    ours_fc = Unet(dim=args.dim, dim_mults=mults, resnet_block_groups=args.groups,
                    with_time_emb=True, num_input_channels=C,
                    num_output_channels=C, num_conditional_channels=C + SC)
-    ours_ip = Unet(dim=args.dim, dim_mults=(1, 2), resnet_block_groups=4,
+    ours_ip = Unet(dim=args.dim, dim_mults=mults, resnet_block_groups=args.groups,
                    with_time_emb=True, num_input_channels=2 * C,
                    num_output_channels=C, num_conditional_channels=SC)
-    fc_vars = {"params": _port_unet_weights(ref_fc, n_levels=2)}
-    ip_vars = {"params": _port_unet_weights(ref_ip, n_levels=2)}
+    fc_vars = {"params": _port_unet_weights(ref_fc, n_levels=len(mults))}
+    ip_vars = {"params": _port_unet_weights(ref_ip, n_levels=len(mults))}
 
     engine = DyffusionEngine(
         DyffusionConfig(
             timesteps=H, forward_conditioning="data", schedule="before_t1_only",
             additional_interpolation_steps=K, interpolate_before_t1=True,
             sampling_type="cold", time_encoding="dynamics",
-            refine_intermediate_predictions=True,
+            refine_intermediate_predictions=refine,
             lambda_reconstruction=0.5, lambda_reconstruction2=0.5,
             num_input_channels=C,
         ),
@@ -157,8 +169,9 @@ def main():
     theirs = out[f"t{H}_preds"].numpy()
     drift = float(np.max(np.abs(np.transpose(preds[:, H - 1], (0, 3, 1, 2)) - theirs)))
 
-    print(json.dumps({
+    result = {
         "metric": "dyffusion_sampling_same_host",
+        "sampling_fps": round(torch_fps, 2),  # read by bench.py
         "torch_frames_per_sec": round(torch_fps, 2),
         "jax_frames_per_sec": round(jax_fps, 2),
         "speedup_vs_torch_reference": round(jax_fps / torch_fps, 3),
@@ -166,8 +179,13 @@ def main():
         "jax_platform": jax.devices()[0].platform,
         "torch_threads": torch.get_num_threads(),
         "shape": {"B": B, "C": C, "spatial": args.spatial, "dim": args.dim,
+                  "mults": list(mults), "refine": refine,
                   "horizon": H, "k_aux": K, "iters": args.iters},
-    }))
+    }
+    print(json.dumps(result))
+    if args.write_json:
+        with open(args.write_json, "w") as f:
+            json.dump(result, f)
 
 
 def _bench_train(args, ref_engine, ref_fc, engine, fc_vars, ip_vars, cond, static):

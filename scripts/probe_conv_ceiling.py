@@ -52,10 +52,11 @@ def time_fn(fn, *args, iters=30):
 
 def conv_stack(n_layers=8):
     @jax.jit
-    def run(x, w):
-        for _ in range(n_layers):
+    def run(x, w, w_back):
+        # alternate forward/backward weights so Cin != Cout stacks type-check
+        for i in range(n_layers):
             x = jax.lax.conv_general_dilated(
-                x, w, (1, 1), "SAME",
+                x, w if i % 2 == 0 else w_back, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
         return x
@@ -76,7 +77,8 @@ def probe_convs():
         run = conv_stack()
         x = jnp.ones((B, H, W, Cin), jnp.bfloat16)
         w = jnp.ones((3, 3, Cin, Cout), jnp.bfloat16) * 0.01
-        dt = time_fn(run, x, w)
+        w_back = jnp.ones((3, 3, Cout, Cin), jnp.bfloat16) * 0.01
+        dt = time_fn(run, x, w, w_back)
         flops = 8 * 2 * B * H * W * 3 * 3 * Cin * Cout  # 8 layers x 2 MACs
         row = {
             "shape": f"B{B} {H}x{W} {Cin}->{Cout}",
