@@ -88,9 +88,19 @@ class CheckpointManager:
                 shutil.rmtree(path)
             os.replace(tmp, path)
 
-    def save_last(self, state_tree, step: int) -> None:
+    def save_last(self, state_tree, step: int, epochs_done: Optional[int] = None) -> None:
         self._save_slot("last", state_tree)
-        self._write_meta(last_step=step)
+        if epochs_done is None:
+            self._write_meta(last_step=step)
+        else:
+            self._write_meta(last_step=step, epochs_done=int(epochs_done))
+
+    @property
+    def epochs_done(self) -> int:
+        """Completed-epoch count persisted with the 'last' slot, so a resumed
+        run continues from the next epoch instead of re-running max_epochs
+        more (the Lightning resume semantics, ref ``train.py:44-69``)."""
+        return int(self._read_meta().get("epochs_done", 0))
 
     def is_improvement(self, score: float) -> bool:
         if self.best_score is None or np.isnan(self.best_score):

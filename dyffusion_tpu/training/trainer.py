@@ -251,7 +251,18 @@ class Trainer:
                 f"{self._n_data} data-parallel devices"
             )
 
-        for epoch in range(self.max_epochs):
+        # Epoch-aware resume (Lightning semantics, ref train.py:44-69): a
+        # restored run continues at the epoch after the saved 'last' slot
+        # instead of training max_epochs MORE; its best-so-far seeds from the
+        # registry meta so the returned score spans the whole run. Guarded on
+        # step>0 so resume=False with a stale run dir still trains fresh.
+        start_epoch = 0
+        if step > 0 and self.ckpt is not None:
+            start_epoch = self.ckpt.epochs_done
+            if self.ckpt.best_score is not None and np.isfinite(self.ckpt.best_score):
+                best = float(self.ckpt.best_score)
+
+        for epoch in range(start_epoch, self.max_epochs):
             epoch_start = time.time()
             n_batches = 0
             loss_parts: List[jax.Array] = []  # device scalars; synced once per epoch
@@ -299,7 +310,7 @@ class Trainer:
                 improved = False
                 if self.ckpt is not None:
                     improved = self.ckpt.save_best_if_improved(self._state_tree(), score, step)
-                    self.ckpt.save_last(self._state_tree(), step)
+                    self.ckpt.save_last(self._state_tree(), step, epochs_done=epoch + 1)
                 if np.isfinite(score):
                     prev_best = best
                     best = score if np.isnan(best) else (

@@ -37,13 +37,43 @@ def get_group_name(config: Dict[str, Any]) -> str:
     return name[:100]  # W&B-style 128-char guard (ref naming.py:233-238)
 
 
+# Keys that do not define the run's scientific identity: schedule length,
+# logging/eval cadence, and machine-local paths. Excluded from the id hash so
+# that (a) raising max_epochs EXTENDS a run instead of forking a new one
+# (Lightning's resume semantics) and (b) moving a registry directory does not
+# orphan every run in it. Mirrors the reference's duplicate-run detection,
+# which compares science hparams only (ref ``config_utils.py:242-283``).
+_VOLATILE_TOP = ("registry_dir", "preset", "use_wandb", "run_id", "mode", "debug")
+_VOLATILE_TRAINER = (
+    "max_epochs",
+    "max_steps",
+    "val_every_n_epochs",
+    "devices",
+    "save_checkpoints",
+    "log_every_n_steps",
+    "watch_gradients",
+    "early_stopping_patience",
+    "num_sanity_val_steps",
+)
+_VOLATILE_DATAMODULE = ("eval_batch_size", "num_workers", "data_dir")
+
+
+def identity_config(config: Dict[str, Any]) -> Dict[str, Any]:
+    """The subset of the config that defines run identity (see above)."""
+    cfg = {k: v for k, v in config.items() if k not in _VOLATILE_TOP}
+    for section, volatile in (("trainer", _VOLATILE_TRAINER), ("datamodule", _VOLATILE_DATAMODULE)):
+        if isinstance(cfg.get(section), dict):
+            cfg[section] = {k: v for k, v in cfg[section].items() if k not in volatile}
+    return cfg
+
+
 def get_run_id(config: Dict[str, Any]) -> str:
     """Deterministic run id = group name + seed + short config hash, so a
-    relaunch with identical config resumes the same run directory (the
+    relaunch with identical science config resumes the same run directory (the
     duplicate-run detection of ``config_utils.py:242-283``)."""
     group = get_group_name(config)
     seed = config.get("seed", 0)
     digest = hashlib.sha256(
-        json.dumps(config, sort_keys=True, default=str).encode()
+        json.dumps(identity_config(config), sort_keys=True, default=str).encode()
     ).hexdigest()[:8]
     return f"{group}_seed{seed}_{digest}"

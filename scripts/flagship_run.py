@@ -76,9 +76,16 @@ def main():
     trainer1, best1 = run_experiment(cfg1)
     wall["stage1_train_s"] = round(time.time() - t0, 1)
     run1 = os.path.basename(trainer1.ckpt.run_dir)
-    s1_fps = max(
-        (h.get("val/frames_per_sec_per_chip", 0.0) for h in trainer1.history), default=0.0
-    )
+    # read from the persisted metrics stream, not trainer.history, so a
+    # resumed/fast-forwarded stage still reports its training-time throughput
+    s1_fps = 0.0
+    try:
+        with open(os.path.join(trainer1.ckpt.run_dir, "metrics.jsonl")) as f:
+            for line in f:
+                rec = json.loads(line)
+                s1_fps = max(s1_fps, rec.get("val/frames_per_sec_per_chip", 0.0))
+    except OSError:
+        pass
     print(json.dumps({"stage": 1, "best_crps": best1, "run": run1, **wall}))
 
     t1 = time.time()

@@ -85,9 +85,45 @@ def test_stage2_dyffusion_with_registry_handoff(stage1):
 
 def test_resume_from_checkpoint(stage1):
     cfg, registry, tr1 = stage1
-    # relaunch with identical config -> same run dir; resumes from last
+    stored_best = tr1.ckpt.best_score
+    # relaunch with identical config -> same run dir; epoch-aware resume
+    # sees the run is complete (epochs_done == max_epochs), fast-forwards
+    # without retraining, and returns the registry's best score
     trainer2, best2 = run_experiment(cfg)
-    assert int(trainer2.state.step) > 0
+    assert int(trainer2.state.step) == int(tr1.state.step) > 0
+    assert trainer2.history == []
+    assert best2 == pytest.approx(stored_best)
+    # raising max_epochs trains ONLY the additional epochs, starting where
+    # the saved run left off (Lightning resume semantics, ref train.py:44-69)
+    cfg3 = get_config(
+        "synthetic_interpolation",
+        TINY + [f"registry_dir={registry}", "trainer.max_epochs=3"],
+    )
+    trainer3, best3 = run_experiment(cfg3)
+    assert len(trainer3.history) == 1 and trainer3.history[0]["epoch"] == 2
+    assert int(trainer3.state.step) > int(tr1.state.step)
+    assert np.isfinite(best3)
+
+
+def test_run_identity_excludes_volatile_keys():
+    """Schedule length / machine paths don't fork a new run id; science does."""
+    from dyffusion_tpu.utils.naming import get_run_id
+
+    a = get_run_id(get_config("synthetic_interpolation", TINY))
+    b = get_run_id(
+        get_config(
+            "synthetic_interpolation",
+            TINY
+            + [
+                "trainer.max_epochs=9",
+                "registry_dir=elsewhere",
+                "datamodule.eval_batch_size=3",
+            ],
+        )
+    )
+    assert a == b
+    c = get_run_id(get_config("synthetic_interpolation", TINY + ["model.dim=16"]))
+    assert c != a
 
 
 def test_time_conditioned_and_simultaneous_train():
