@@ -139,7 +139,7 @@ def main():
         md.append(f"| {k} | {test_metrics[k]:.5f} |")
     md.append("")
     if s1_fps:
-        md.append(f"Stage-1 val sampler throughput during training: {s1_fps:.1f} frames/s/chip.\n")
+        md.append(f"Stage-1 val ensemble-eval throughput during training (interpolator forward per member, no sampler): {s1_fps:.1f} frames/s/chip.\n")
     md.append("### Per-horizon test curves\n")
     curves = trainer_t.last_eval_curves
     for name, c in sorted(curves.items()):
