@@ -61,6 +61,12 @@ class ExperimentConfig:
     # ``_base_experiment.py:533-535``) and it is the faster layout on TPU;
     # set false for the vmap layout. eval_dtype stays opt-in (precision).
     eval_dtype: Optional[str] = None  # None | 'bfloat16'
+    # train_dtype=bfloat16 is full mixed-precision TRAINING (the Lightning
+    # 'bf16-mixed' analogue): forward/backward compute in bf16 via a cast at
+    # the loss boundary; master params, optimizer state, EMA, gradients (the
+    # cast's vjp) and the loss reductions all stay f32. Opt-in — the
+    # reference trains at Lightning default precision 32.
+    train_dtype: Optional[str] = None  # None | 'bfloat16'
     fold_members_into_batch: bool = True
     use_ema: bool = False  # reference default (configs/module/_base_experiment_config.yaml:12)
     ema_decay: float = 0.9999

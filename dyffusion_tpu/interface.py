@@ -381,6 +381,10 @@ def run_experiment(
     exp, model, variables, loss_fn, eval_fns, engine = build_experiment(
         config, datamodule, interpolator=interpolator
     )
+    if getattr(exp.cfg, "train_dtype", None) in ("bfloat16", "bf16"):
+        from dyffusion_tpu.training.trainer import mixed_precision_loss
+
+        loss_fn = mixed_precision_loss(loss_fn)
     state = create_train_state(config, variables)
     run_id = config.get("run_id") or get_run_id(config)
     run_dir = os.path.join(config.get("registry_dir", "runs"), run_id)

@@ -37,6 +37,45 @@ from dyffusion_tpu.training.state import TrainState
 from dyffusion_tpu.parallel.mesh import batch_sharding, put_array, shard_train_state
 
 
+def mixed_precision_loss(loss_fn: Callable, dtype=jnp.bfloat16) -> Callable:
+    """Full mixed-precision training (``module.train_dtype=bfloat16``; the
+    Lightning 'bf16-mixed' analogue the reference never enables —
+    ``configs/trainer/default.yaml`` leaves precision at 32).
+
+    The forward/backward compute runs in ``dtype``: trainable variables and
+    batch arrays are cast at the loss boundary, so the f32 master params,
+    optax state and EMA are untouched, gradients come back f32 through the
+    cast's vjp, and the loss reductions are pinned to f32 in
+    ``utils/loss.py``. Model-state updates (BatchNorm running stats) are cast
+    back to f32 before re-entering the master state."""
+
+    def cast(x):
+        return (
+            x.astype(dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x
+        )
+
+    def to_f32(x):
+        return (
+            x.astype(jnp.float32)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x
+        )
+
+    def wrapped(variables, batch, rng):
+        loss, (metrics, updates) = loss_fn(
+            jax.tree_util.tree_map(cast, variables),
+            {k: cast(jnp.asarray(v)) for k, v in batch.items()},
+            rng,
+        )
+        if updates:
+            updates = jax.tree_util.tree_map(to_f32, updates)
+        return loss, (metrics, updates)
+
+    return wrapped
+
+
 def make_train_step(loss_fn: Callable, grad_clip_metrics: bool = True, watch_gradients: bool = False):
     """Build the jitted train step.
 

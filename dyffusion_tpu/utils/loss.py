@@ -34,16 +34,24 @@ def _masked_mean(per_elem: Array, mask: Optional[Array]) -> Array:
     return jnp.sum(row_mean * mask) / denom
 
 
+def _f32(x: Array) -> Array:
+    """Loss math always reduces in f32 — under mixed-precision training
+    (``module.train_dtype=bfloat16``) preds/targets arrive bf16 and a bf16
+    mean over millions of elements would lose the gradient signal; for f32
+    inputs this is a no-op."""
+    return x.astype(jnp.float32) if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+
 def mse_loss(preds: Array, targets: Array, mask: Optional[Array] = None) -> Array:
-    return _masked_mean((preds - targets) ** 2, mask)
+    return _masked_mean((_f32(preds) - _f32(targets)) ** 2, mask)
 
 
 def l1_loss(preds: Array, targets: Array, mask: Optional[Array] = None) -> Array:
-    return _masked_mean(jnp.abs(preds - targets), mask)
+    return _masked_mean(jnp.abs(_f32(preds) - _f32(targets)), mask)
 
 
 def smooth_l1_loss(preds: Array, targets: Array, mask: Optional[Array] = None, beta: float = 1.0) -> Array:
-    d = jnp.abs(preds - targets)
+    d = jnp.abs(_f32(preds) - _f32(targets))
     per_elem = jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
     return _masked_mean(per_elem, mask)
 

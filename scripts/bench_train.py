@@ -105,7 +105,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--stage", choices=["1", "2", "2bf16", "all"], default="all")
+    ap.add_argument(
+        "--stage", choices=["1", "2", "2bf16", "1full", "2full", "all"], default="all"
+    )
     args = ap.parse_args()
 
     from dyffusion_tpu.models import make_apply_fn
@@ -141,6 +143,28 @@ def main():
             loss2b, state2b, batch2b, args.steps, peak
         )
         print("stage2 bf16-interp:", json.dumps(results["stage2_dyffusion_bf16_interp"]))
+
+    # full mixed-precision training (module.train_dtype=bfloat16): the whole
+    # forward/backward in bf16, f32 master params/grads/loss reductions
+    from dyffusion_tpu.training.trainer import mixed_precision_loss
+
+    if args.stage in ("1full", "all"):
+        _, _, _, loss1f, state1f, batch1f = _build("synthetic_interpolation", overrides)
+        results["stage1_full_bf16"] = bench_step(
+            mixed_precision_loss(loss1f), state1f, batch1f, args.steps, V5E_PEAK_BF16
+        )
+        print("stage1 full-bf16:", json.dumps(results["stage1_full_bf16"]))
+
+    if args.stage in ("2full", "all"):
+        _, _, _, loss2f, state2f, batch2f = _build(
+            "synthetic_dyffusion",
+            overrides + ["diffusion.train_interpolator_dtype=bfloat16"],
+            interpolator=(ip_apply, ip_vars),
+        )
+        results["stage2_full_bf16"] = bench_step(
+            mixed_precision_loss(loss2f), state2f, batch2f, args.steps, V5E_PEAK_BF16
+        )
+        print("stage2 full-bf16:", json.dumps(results["stage2_full_bf16"]))
 
     print(json.dumps({"train_bench": results, "backend": jax.default_backend()}))
 

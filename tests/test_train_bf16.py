@@ -32,7 +32,7 @@ TINY = [
 ]
 
 
-def _loss_and_grads(extra):
+def _loss_and_grads(extra, wrap=None):
     cfg1 = get_config("synthetic_interpolation", TINY)
     dm = get_datamodule(cfg1)
     dm.setup()
@@ -43,6 +43,8 @@ def _loss_and_grads(extra):
     exp, model, variables, loss_fn, _, engine = build_experiment(
         cfg, dm, interpolator=(ip_apply, ip_vars)
     )
+    if wrap is not None:
+        loss_fn = wrap(loss_fn)
     state = create_train_state(cfg, variables)
     batch = {
         k: jnp.asarray(v)
@@ -76,3 +78,45 @@ def test_bf16_interpolator_train_parity():
     # norms in the same ballpark
     ratio = np.linalg.norm(f16) / (np.linalg.norm(f32) + 1e-30)
     assert 0.8 < ratio < 1.25, f"gradient norm ratio {ratio}"
+
+
+def test_full_bf16_mixed_precision_train_parity():
+    """module.train_dtype=bfloat16: the WHOLE stage-2 forward/backward in
+    bf16 (trainable forecaster included) with f32 master params and f32
+    gradients through the cast's vjp. Gradient direction must survive."""
+    from dyffusion_tpu.training.trainer import mixed_precision_loss
+
+    loss32, g32, _ = _loss_and_grads([])
+    loss16, g16, _ = _loss_and_grads([], wrap=mixed_precision_loss)
+
+    assert np.isfinite(loss16)
+    np.testing.assert_allclose(loss16, loss32, rtol=0.05)
+    f32 = np.concatenate([np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(g32)])
+    f16 = np.concatenate([np.asarray(x).ravel() for x in jax.tree_util.tree_leaves(g16)])
+    # gradients must come back f32 (master precision), not bf16
+    assert all(np.asarray(x).dtype == np.float32 for x in jax.tree_util.tree_leaves(g16))
+    assert np.all(np.isfinite(f16))
+    cos = float(np.dot(f32, f16) / (np.linalg.norm(f32) * np.linalg.norm(f16) + 1e-30))
+    assert cos > 0.97, f"gradient direction drifted: cos={cos}"
+    ratio = np.linalg.norm(f16) / (np.linalg.norm(f32) + 1e-30)
+    assert 0.7 < ratio < 1.4, f"gradient norm ratio {ratio}"
+
+
+def test_train_dtype_wired_through_driver(tmp_path):
+    """run_experiment with module.train_dtype=bfloat16 trains end-to-end:
+    finite loss/best, f32 master params preserved in the checkpointed state."""
+    from dyffusion_tpu.interface import run_experiment
+
+    cfg = get_config(
+        "synthetic_interpolation",
+        TINY
+        + [
+            "module.train_dtype=bfloat16",
+            "trainer.max_epochs=1",
+            f"registry_dir={tmp_path}",
+        ],
+    )
+    trainer, best = run_experiment(cfg)
+    assert np.isfinite(best)
+    leaves = jax.tree_util.tree_leaves(trainer.state.params)
+    assert all(x.dtype == jnp.float32 for x in leaves)
