@@ -363,6 +363,14 @@ def run_experiment(
 
     init_distributed()
     tr_cfg = config.get("trainer", {})
+    # matmul-precision fixup (ref torch_matmul_precision, config_utils.py:148-151):
+    # torch 'highest' = f32 accumulate, 'high' = tf32-ish (3-pass bf16 on TPU),
+    # 'medium' = plain bf16 MXU. Mapped to JAX precision names the TPU backend
+    # accepts ('high' itself is rejected at lowering on the axon backend).
+    mm = config.get("matmul_precision") or config.get("torch_matmul_precision")
+    if mm:
+        _mm_map = {"high": "tensorfloat32", "medium": "bfloat16"}
+        jax.config.update("jax_default_matmul_precision", _mm_map.get(mm, mm))
     mesh = _build_mesh(tr_cfg)
     datamodule = datamodule or get_datamodule(config)
     datamodule.setup()
@@ -381,7 +389,14 @@ def run_experiment(
     exp, model, variables, loss_fn, eval_fns, engine = build_experiment(
         config, datamodule, interpolator=interpolator
     )
-    if getattr(exp.cfg, "train_dtype", None) in ("bfloat16", "bf16"):
+    # trainer.precision (ref configs/trainer/default.yaml:14 "32 or 16") is an
+    # alias for module.train_dtype: any half-precision spelling means
+    # bf16-mixed on TPU (no fp16 MXU path; bf16 is the TPU half precision)
+    precision = tr_cfg.get("precision", 32)
+    if (
+        getattr(exp.cfg, "train_dtype", None) in ("bfloat16", "bf16")
+        or str(precision) in ("16", "bf16", "bf16-mixed", "bfloat16", "16-mixed")
+    ):
         from dyffusion_tpu.training.trainer import mixed_precision_loss
 
         loss_fn = mixed_precision_loss(loss_fn)

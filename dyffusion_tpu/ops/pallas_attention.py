@@ -63,8 +63,10 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_tokens: int, n_valid:
     q = jax.nn.softmax(q, axis=0) * scale
     k = jax.nn.softmax(k, axis=1)
     v = v / n_tokens
-    context = jnp.dot(k, v.T, preferred_element_type=jnp.float32)  # (d, d)
-    out = jnp.dot(context.T, q.astype(jnp.float32), preferred_element_type=jnp.float32)
+    # dots pin Precision.DEFAULT: Mosaic lowering rejects HIGH/tensorfloat32,
+    # so the global jax_default_matmul_precision must not leak into the kernel
+    context = jnp.dot(k, v.T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)  # (d, d)
+    out = jnp.dot(context.T, q.astype(jnp.float32), preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -108,14 +110,14 @@ def _qkv_kernel(qkv_ref, o_ref, *, scale: float, n_tokens: int, n_valid: int, he
     in_dtype = blk.dtype
     qf = q.astype(jnp.float32)
     qe = jnp.exp(qf - jnp.max(qf, axis=1, keepdims=True))
-    seg = jnp.dot(qe, same_head, preferred_element_type=jnp.float32)  # per-head sums
+    seg = jnp.dot(qe, same_head, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)  # per-head sums
     qs = (qe / seg * scale).astype(in_dtype)
     # k: softmax over tokens (major axis — directly supported)
     kf = jax.nn.softmax(k.astype(jnp.float32), axis=0).astype(in_dtype)
     vf = (v / n_tokens).astype(in_dtype)
-    context = jnp.dot(kf.T, vf, preferred_element_type=jnp.float32)  # (hd, hd)
+    context = jnp.dot(kf.T, vf, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)  # (hd, hd)
     context = (context * same_head).astype(in_dtype)  # per-head blocks only
-    out = jnp.dot(qs, context, preferred_element_type=jnp.float32)  # (N_pad, hd)
+    out = jnp.dot(qs, context, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)  # (N_pad, hd)
     o_ref[0] = out.astype(o_ref.dtype)
 
 

@@ -120,3 +120,34 @@ def test_train_dtype_wired_through_driver(tmp_path):
     assert np.isfinite(best)
     leaves = jax.tree_util.tree_leaves(trainer.state.params)
     assert all(x.dtype == jnp.float32 for x in leaves)
+
+
+def test_trainer_precision_alias_and_matmul_precision(tmp_path):
+    """trainer.precision=16 (ref configs/trainer/default.yaml:14) aliases
+    module.train_dtype=bfloat16; matmul_precision (ref torch_matmul_precision,
+    config_utils.py:148-151) sets jax_default_matmul_precision."""
+    from dyffusion_tpu.interface import run_experiment
+
+    prev = jax.config.jax_default_matmul_precision
+    try:
+        cfg = get_config(
+            "synthetic_interpolation",
+            TINY
+            + [
+                "trainer.precision=16",
+                "matmul_precision=high",
+                "trainer.max_epochs=1",
+                f"registry_dir={tmp_path}",
+            ],
+        )
+        trainer, best = run_experiment(cfg)
+        assert np.isfinite(best)
+        # 'high' maps to tensorfloat32 (the TPU backend rejects HIGH at lowering)
+        assert jax.config.jax_default_matmul_precision == "tensorfloat32"
+        # master params stay f32 under the precision alias
+        assert all(
+            x.dtype == jnp.float32
+            for x in jax.tree_util.tree_leaves(trainer.state.params)
+        )
+    finally:
+        jax.config.update("jax_default_matmul_precision", prev)
