@@ -33,26 +33,23 @@ jax.config.update(
 )
 
 # SST-scale workload (ref configs/experiment/oisst_pacific_dyffusion.yaml):
-# 60x60, C=1, horizon 7, k=25, eval batch 6, 20-member val ensemble, dim-64
-# ResNet-attention UNet.
-TINY_SST = [
+# canonical core in dyffusion_tpu/utils/workloads.py, shared with every
+# other perf entry point; only split/batch sizing is local here.
+from dyffusion_tpu.utils.workloads import (  # noqa: E402
+    SST_FAST_EVAL,
+    SST_SHAPE,
+    sst_overrides,
+    time_train_steps,
+)
+
+TINY_SST = sst_overrides([
     "datamodule.n_traj=5",
     "datamodule.n_time=13",  # val split: 1 trajectory -> exactly 6 windows
-    "datamodule.spatial=(60,60)",
-    "datamodule.channels=1",
-    "datamodule.horizon=7",
     "datamodule.batch_size=6",
     "datamodule.eval_batch_size=6",
-    "model.dim=64",
-    "model.dim_mults=(1,2,4)",
-    "model.block_dropout=0.3",
-    "model.attn_dropout=0.1",
-    "module.num_predictions=20",
-    "module.eval_dtype=bfloat16",
-    "module.fold_members_into_batch=True",
-    "diffusion.additional_interpolation_steps=25",
+    *SST_FAST_EVAL,
     "trainer.save_checkpoints=False",
-]
+])
 
 
 def build_trainer():
@@ -89,23 +86,14 @@ def build_trainer():
 def bench_train_step(trainer, batch_size: int = 64, steps: int = 20) -> dict:
     """Product stage-2 train step (two-term p_losses + Adam + EMA, donated
     state) at the reference SST train batch (oisst_pacific.yaml: 64) —
-    the train half of the perf story (VERDICT r2 next #1). Timing ends with a
-    real device->host read (block_until_ready is unreliable here, PERF.md)."""
-    import time
-
+    the train half of the perf story (VERDICT r2 next #1)."""
     import numpy as np
 
     tensors = trainer.datamodule.split("train").tensors
     n = next(iter(tensors.values())).shape[0]
     idx = np.arange(batch_size) % n
     batch = trainer._put({k: np.asarray(v)[idx] for k, v in tensors.items()})
-    state, m = trainer.train_step(trainer.state, batch)  # warmup/compile
-    float(m["loss"])
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, m = trainer.train_step(state, batch)
-    float(m["loss"])  # sync
-    dt = (time.perf_counter() - t0) / steps
+    dt = time_train_steps(trainer.train_step, trainer.state, batch, steps)
     return {
         "train_steps_per_sec": round(1.0 / dt, 3),
         "train_examples_per_sec": round(batch_size / dt, 1),
@@ -140,11 +128,21 @@ def main():
         os.path.dirname(os.path.abspath(__file__)), "torch_reference_bench.json"
     )
     vs_torch = None
+    torch_workload = None
     if os.path.exists(torch_path):
         with open(torch_path) as f:
             tb = json.load(f)
-        if tb.get("sampling_fps"):
+        # only report the ratio when the torch run used the SAME model
+        # workload as this bench (C/spatial/dim/mults/horizon/k) — a ratio
+        # against a different shape silently skews the headline
+        shape = tb.get("shape") or {}
+        expected = SST_SHAPE
+        matches = all(shape.get(k) == v for k, v in expected.items())
+        if tb.get("sampling_fps") and matches:
             vs_torch = round(fps_per_chip / tb["sampling_fps"], 2)
+            torch_workload = "same SST workload, torch single-thread CPU (scripts/bench_torch_reference.py)"
+        elif tb.get("sampling_fps"):
+            torch_workload = f"NOT comparable: torch json shape {shape} != bench workload {expected}"
 
     print(
         json.dumps(
@@ -155,6 +153,7 @@ def main():
                 "vs_baseline": round(fps_per_chip / baseline, 3),
                 "baseline": "this repo's round-1 f32 product path (bench_baseline.json) — the reference publishes no numbers (BASELINE.md)",
                 "vs_torch_cpu_reference": vs_torch,
+                "vs_torch_cpu_reference_note": torch_workload,
                 **train,
             }
         )

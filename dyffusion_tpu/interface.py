@@ -435,9 +435,17 @@ def run_experiment(
     # utils.py:375-384 + train.py:88-89)
     import signal
 
+    def _epochs_done_now():
+        # max() covers a pre-fit signal (trainer.epochs_completed still 0
+        # after maybe_resume): never regress the meta below what it records
+        return max(trainer.epochs_completed, trainer.ckpt.epochs_done)
+
     def _save_on_signal(signum, frame):
         if trainer.ckpt is not None:
-            trainer.ckpt.save_last(trainer._state_tree(), int(trainer.state.step))
+            trainer.ckpt.save_last(
+                trainer._state_tree(), int(trainer.state.step),
+                epochs_done=_epochs_done_now(),
+            )
 
     try:
         signal.signal(signal.SIGUSR1, _save_on_signal)
@@ -451,7 +459,10 @@ def run_experiment(
     except BaseException:
         # crash-path checkpoint before re-raise (ref train.py:95-101)
         if trainer.ckpt is not None and int(trainer.state.step) > 0:
-            trainer.ckpt.save_last(trainer._state_tree(), int(trainer.state.step))
+            trainer.ckpt.save_last(
+                trainer._state_tree(), int(trainer.state.step),
+                epochs_done=_epochs_done_now(),
+            )
         raise
     finally:
         logger.finish()

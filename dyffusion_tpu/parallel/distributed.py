@@ -31,6 +31,11 @@ def init_distributed(
     process_id = process_id if process_id is not None else _int_env("JAX_PROCESS_ID")
     if coordinator_address is None and num_processes in (None, 1):
         return  # single host
+    # idempotent: drivers that train then reload-and-test in one process
+    # (flagship_run, bench_schedule_quality) call this once per entry point,
+    # but jax.distributed.initialize() may only ever run once per process
+    if jax.distributed.is_initialized():
+        return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

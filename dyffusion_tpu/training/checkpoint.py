@@ -38,10 +38,38 @@ class CheckpointManager:
         # PyTreeCheckpointer: supports template-free restore, which the
         # stage-1 -> stage-2 interpolator handoff relies on
         self._ckpt = ocp.PyTreeCheckpointer()
+        # Multi-host: slot promotion and meta/config writes are rank-0-only,
+        # and EVERY rank's restore()/epochs_done reads run_dir directly — the
+        # registry must live on a filesystem all hosts share (the same
+        # contract Lightning's ModelCheckpoint has on a pod). Verify it now
+        # with a write-then-probe barrier rather than desynchronizing later
+        # (ranks disagreeing on resume state would hang the first collective).
+        if jax.process_count() > 1:
+            self._assert_shared_filesystem()
         # reload best score if resuming
         meta = self._read_meta()
         if meta and meta.get("best_score") is not None:
             self.best_score = meta["best_score"]
+
+    def _assert_shared_filesystem(self) -> None:
+        from jax.experimental import multihost_utils
+
+        probe = os.path.join(self.run_dir, ".shared_fs_probe")
+        if jax.process_index() == 0:
+            with open(probe, "w") as f:
+                f.write("shared-filesystem probe (see CheckpointManager)")
+        multihost_utils.sync_global_devices("ckpt_shared_fs_probe")
+        visible = multihost_utils.process_allgather(
+            np.array([os.path.exists(probe)], dtype=np.int32)
+        )
+        if int(np.min(visible)) == 0:
+            raise RuntimeError(
+                f"checkpoint dir {self.run_dir!r} is not visible from every "
+                f"host (visibility per process: {visible.ravel().tolist()}). "
+                "Multi-host runs require registry_dir on a shared filesystem "
+                "(NFS/GCS-fuse); otherwise resume and reload_and_test "
+                "desynchronize across hosts."
+            )
 
     def _slot_dir(self, slot: str) -> str:
         return os.path.join(self.run_dir, slot)

@@ -230,6 +230,9 @@ class Trainer:
         self.early_stopping_patience = early_stopping_patience
         self._epochs_without_improvement = 0
         self.monitor_mode = monitor_mode
+        # fully-completed epoch count, kept current by fit() so out-of-band
+        # saves (SIGUSR1/crash, interface.py) write a matching epochs_done
+        self.epochs_completed = 0
         # per-horizon metric curves from the last test evaluation (consumed by
         # the test-end line-plot logging, ref forecasting_multi_horizon.py:262-279)
         self.last_eval_curves: Dict[str, Dict[str, list]] = {}
@@ -300,6 +303,11 @@ class Trainer:
             start_epoch = self.ckpt.epochs_done
             if self.ckpt.best_score is not None and np.isfinite(self.ckpt.best_score):
                 best = float(self.ckpt.best_score)
+        # FULLY-completed epoch count, kept current so out-of-band saves
+        # (SIGUSR1 / crash path, interface.py) write an epochs_done that
+        # matches the params they snapshot — a mid-epoch save resumes at the
+        # interrupted epoch's start instead of replaying finished epochs
+        self.epochs_completed = start_epoch
 
         for epoch in range(start_epoch, self.max_epochs):
             epoch_start = time.time()
@@ -333,6 +341,8 @@ class Trainer:
                 if self.max_steps and step >= self.max_steps:
                     done = True
                     break
+            if not done:  # max_steps breaks mid-epoch -> that epoch is partial
+                self.epochs_completed = epoch + 1
             loss_epoch = float(np.sum(jax.device_get(loss_parts))) / max(n_batches, 1) if loss_parts else 0.0
             epoch_metrics = {
                 "train/loss_epoch": loss_epoch,

@@ -55,15 +55,35 @@ _VOLATILE_TRAINER = (
     "early_stopping_patience",
     "num_sanity_val_steps",
 )
-_VOLATILE_DATAMODULE = ("eval_batch_size", "num_workers", "data_dir")
+_VOLATILE_DATAMODULE = ("eval_batch_size", "num_workers", "data_dir", "batch_size")
+
+
+def _data_axis_size(config: Dict[str, Any]) -> int:
+    """Resolve ``trainer.devices`` the way ``interface._build_mesh`` does."""
+    devices = (config.get("trainer") or {}).get("devices", "auto")
+    if devices in ("auto", -1, None):
+        import jax
+
+        return jax.device_count() if jax.default_backend() != "cpu" else 1
+    return max(int(devices), 1)
 
 
 def identity_config(config: Dict[str, Any]) -> Dict[str, Any]:
-    """The subset of the config that defines run identity (see above)."""
+    """The subset of the config that defines run identity (see above).
+
+    ``trainer.devices`` itself is volatile, but the GLOBAL train batch it
+    implies (per-device batch x data-axis size — ``interface.py`` eff-batch
+    scaling) is science: devices=8/batch=8 and devices=1/batch=64 are the
+    same optimization and share an id, while devices=1 vs devices=8 at the
+    same per-device batch are different runs and must not resume each other.
+    """
     cfg = {k: v for k, v in config.items() if k not in _VOLATILE_TOP}
     for section, volatile in (("trainer", _VOLATILE_TRAINER), ("datamodule", _VOLATILE_DATAMODULE)):
         if isinstance(cfg.get(section), dict):
             cfg[section] = {k: v for k, v in cfg[section].items() if k not in volatile}
+    per_device = (config.get("datamodule") or {}).get("batch_size")
+    if per_device is not None:
+        cfg["effective_train_batch"] = int(per_device) * _data_axis_size(config)
     return cfg
 
 

@@ -28,24 +28,16 @@ jax.config.update(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
 )
 
-SST = [
+from dyffusion_tpu.utils.workloads import SST_FAST_EVAL, sst_overrides  # noqa: E402
+
+SST = sst_overrides([
     "datamodule.n_traj=24",
     "datamodule.n_time=60",
-    "datamodule.spatial=(60,60)",
-    "datamodule.channels=1",
-    "datamodule.horizon=7",
     "datamodule.batch_size=64",
     "datamodule.eval_batch_size=6",
-    "model.dim=64",
-    "model.dim_mults=(1,2,4)",
-    "model.block_dropout=0.3",
-    "model.attn_dropout=0.1",
-    "module.num_predictions=20",
     "module.num_predictions_test=20",
-    "module.eval_dtype=bfloat16",
-    "module.fold_members_into_batch=True",
-    "diffusion.additional_interpolation_steps=25",
-]
+    *SST_FAST_EVAL,
+])
 
 # (schedule, sampling_type) points on the speed/quality frontier. 'naive'
 # (ref sampling_type, dyffusion.py:335-426) costs ONE interpolator call per

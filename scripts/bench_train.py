@@ -24,7 +24,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -39,20 +38,14 @@ jax.config.update(
 V5E_PEAK_BF16 = 197e12
 V5E_PEAK_F32 = 98.3e12
 
-SST = [
+from dyffusion_tpu.utils.workloads import sst_overrides, time_train_steps  # noqa: E402
+
+SST = sst_overrides([
     "datamodule.n_traj=16",
     "datamodule.n_time=20",  # train split: 9 traj x 13 windows >= batch 64
-    "datamodule.spatial=(60,60)",
-    "datamodule.channels=1",
-    "datamodule.horizon=7",
     "datamodule.batch_size=64",  # ref oisst_pacific.yaml train batch
-    "model.dim=64",
-    "model.dim_mults=(1,2,4)",
-    "model.block_dropout=0.3",
-    "model.attn_dropout=0.1",
-    "module.num_predictions=20",
     "trainer.save_checkpoints=False",
-]
+])
 
 
 def _build(preset, overrides, interpolator=None):
@@ -82,13 +75,7 @@ def bench_step(loss_fn, state, batch, steps: int, peak: float):
     cost = lowered.compile().cost_analysis()
     flops = float(cost.get("flops", 0.0)) if cost else 0.0
 
-    state, metrics = train_step(state, batch)  # warmup/compile
-    float(metrics["loss"])  # device sync
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, metrics = train_step(state, batch)
-    loss = float(metrics["loss"])  # real device->host read ends the timing
-    dt = (time.perf_counter() - t0) / steps
+    dt = time_train_steps(train_step, state, batch, steps)
     B = int(next(iter(batch.values())).shape[0])
     return {
         "steps_per_sec": round(1.0 / dt, 3),
@@ -96,7 +83,6 @@ def bench_step(loss_fn, state, batch, steps: int, peak: float):
         "step_ms": round(dt * 1e3, 2),
         "flops_per_step": flops,
         "mfu_pct": round(100 * flops / dt / peak, 2) if flops else None,
-        "loss": loss,
         "batch": B,
     }
 
