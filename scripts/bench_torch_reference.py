@@ -32,6 +32,10 @@ def main():
     p.add_argument("--dim", type=int, default=16)
     p.add_argument("--spatial", type=int, default=16)
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--channels", type=int, default=2,
+                   help="dynamical channels C (SST workload: 1)")
+    p.add_argument("--static-channels", type=int, default=1, dest="static_channels",
+                   help="static conditioning channels (0 = none, SST workload)")
     p.add_argument("--horizon", type=int, default=4)
     p.add_argument("--k-aux", type=int, default=2, dest="k_aux")
     p.add_argument("--iters", type=int, default=5)
@@ -72,7 +76,7 @@ def main():
 
     # reuse the parity fixture's exact construction at the requested scale
     eng_mod.HGT = eng_mod.WID = args.spatial
-    C, SC = 2, 1
+    C, SC = args.channels, args.static_channels
     H, K = args.horizon, args.k_aux
 
     ref_unet_mod = import_reference("src.models.unet")
@@ -130,7 +134,10 @@ def main():
     rng = np.random.default_rng(0)
     B = args.batch
     cond = rng.normal(size=(B, C, args.spatial, args.spatial)).astype(np.float32)
-    static = rng.normal(size=(B, SC, args.spatial, args.spatial)).astype(np.float32)
+    static = (
+        rng.normal(size=(B, SC, args.spatial, args.spatial)).astype(np.float32)
+        if SC > 0 else None
+    )
     frames = B * H
 
     if args.mode == "train":
@@ -138,7 +145,8 @@ def main():
                             cond, static)
 
     # ---- torch reference loop ----
-    cond_t, static_t = torch.from_numpy(cond), torch.from_numpy(static)
+    cond_t = torch.from_numpy(cond)
+    static_t = torch.from_numpy(static) if static is not None else None
     with torch.no_grad():
         ref_engine.sample(cond_t, static_condition=static_t)  # warmup
         t0 = time.perf_counter()
@@ -149,7 +157,8 @@ def main():
 
     # ---- our jitted engine ----
     nhwc = lambda x: jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
-    cond_j, static_j = nhwc(cond), nhwc(static)
+    cond_j = nhwc(cond)
+    static_j = nhwc(static) if static is not None else None
 
     @jax.jit
     def sample_fn(key, c, s):
@@ -210,7 +219,7 @@ def _bench_train(args, ref_engine, ref_fc, engine, fc_vars, ip_vars, cond, stati
     opt = torch.optim.Adam(ref_fc.parameters(), lr=1e-4)
     cond_t = torch.from_numpy(cond)
     x_last_t = torch.from_numpy(x_last)
-    static_t = torch.from_numpy(static)
+    static_t = torch.from_numpy(static) if static is not None else None
 
     def torch_step(i):
         t = torch.from_numpy(
@@ -229,7 +238,8 @@ def _bench_train(args, ref_engine, ref_fc, engine, fc_vars, ip_vars, cond, stati
 
     # ---- jax: jitted value_and_grad + optax.adam, donated state ----
     nhwc = lambda x: jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
-    cond_j, x_last_j, static_j = nhwc(cond), nhwc(x_last), nhwc(static)
+    cond_j, x_last_j = nhwc(cond), nhwc(x_last)
+    static_j = nhwc(static) if static is not None else None
     tx = optax.adam(1e-4)
     opt_state = tx.init(fc_vars)
 
