@@ -1,7 +1,10 @@
-# Repo tooling (the reference's Makefile declares quality/test targets;
-# ours adds the bench and multichip dry-run).
+# Repo tooling (the reference's Makefile declares quality/style/test/fix-copies
+# targets over utils/{check_copies,release,get_modified_files}.py; ours mirrors
+# that with tools/ and adds the bench and multichip dry-run).
 
-.PHONY: test test-fast quality bench dryrun
+.PHONY: test test-fast quality modified-quality fix-copies bench dryrun install package
+
+check_dirs := dyffusion_tpu tests tools scripts
 
 test:
 	python -m pytest tests/ -x -q
@@ -10,8 +13,29 @@ test-fast:
 	python -m pytest tests/ -x -q -m "not slow" -k "not end_to_end"
 
 quality:
-	python -m compileall -q dyffusion_tpu bench.py __graft_entry__.py
+	python -m compileall -q dyffusion_tpu tools bench.py __graft_entry__.py
 	python scripts/check_citations.py
+	python tools/check_copies.py
+
+# lint-on-diff: quality checks restricted to files modified since main's fork
+# point (ref `modified_only_fixup`)
+modified-quality:
+	$(eval modified_py := $(shell python tools/get_modified_files.py $(check_dirs)))
+	@if test -n "$(modified_py)"; then \
+		echo "checking $(modified_py)"; \
+		python -m compileall -q $(modified_py); \
+	else \
+		echo "no modified .py files"; \
+	fi
+
+fix-copies:
+	python tools/check_copies.py --fix
+
+install:
+	pip install -e . --no-build-isolation
+
+package:
+	pip wheel . --no-build-isolation --no-deps -w dist/
 
 bench:
 	python bench.py

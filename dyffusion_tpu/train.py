@@ -56,5 +56,16 @@ def main(argv: Optional[List[str]] = None) -> float:
     return best
 
 
+def cli() -> int:
+    """Console-script entry (``dyffusion-tpu`` from ``pyproject.toml``).
+
+    ``main`` returns the best monitored SCORE (a float, ref ``run_model ->
+    float``); a console script's return value becomes the process exit status,
+    so wrap it: any finished run exits 0, only raised exceptions exit nonzero.
+    """
+    main()
+    return 0
+
+
 if __name__ == "__main__":
     main()
