@@ -231,3 +231,40 @@ class LatentDDPMEngine:
             out["samples"] = samples
             out["denoise_row"] = denoise_row
         return out
+
+
+def make_conditioned_apply(apply_fn: Callable, conditioning_key: Optional[str]) -> Callable:
+    """LDM ``DiffusionWrapper`` equivalent (ref ``ddpm.py:398-424``).
+
+    Routes conditioning into a denoiser apply-fn by mode (config-unused in the
+    reference — no Hydra preset constructs a DiffusionWrapper — kept for
+    inventory parity):
+
+    - ``None``: ``apply_fn(x, t)``
+    - ``'concat'``: channel-concat ``c_concat`` onto ``x`` (NHWC axis -1)
+    - ``'crossattn'``: channel-concat ``c_crossattn`` passed as ``context=``
+    - ``'hybrid'``: both of the above
+    - ``'adm'``: first ``c_crossattn`` entry passed as class label ``y=``
+
+    ``c_concat`` / ``c_crossattn`` are lists of arrays, as in the reference.
+    """
+    assert conditioning_key in (None, "concat", "crossattn", "hybrid", "adm"), (
+        f"unknown conditioning_key {conditioning_key!r}"
+    )
+
+    def wrapped(x: Array, t: Array, c_concat=None, c_crossattn=None) -> Array:
+        if conditioning_key is None:
+            return apply_fn(x, t)
+        if conditioning_key == "concat":
+            return apply_fn(jnp.concatenate([x, *c_concat], axis=-1), t)
+        if conditioning_key == "crossattn":
+            return apply_fn(x, t, context=jnp.concatenate(c_crossattn, axis=-1))
+        if conditioning_key == "hybrid":
+            return apply_fn(
+                jnp.concatenate([x, *c_concat], axis=-1),
+                t,
+                context=jnp.concatenate(c_crossattn, axis=-1),
+            )
+        return apply_fn(x, t, y=c_crossattn[0])  # 'adm'
+
+    return wrapped

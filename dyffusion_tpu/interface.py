@@ -38,13 +38,16 @@ from dyffusion_tpu.training.state import TrainState
 from dyffusion_tpu.training.trainer import Trainer
 from dyffusion_tpu.utils.naming import get_run_id
 
-from dyffusion_tpu.models.ncsnpp import NCSNpp  # noqa: E402
+from dyffusion_tpu.models.ncsnpp import NCSNpp, SPADENCSNpp  # noqa: E402
 
 _MODEL_REGISTRY = {
     "unet_resnet": Unet,
     "unet_simple": UNetSimple,
     "cnn_simple": SimpleConvNet,
     "ncsnpp": NCSNpp,
+    # SPADE variant (ref ncsnpp_more.py:451) — config-object-only in the
+    # reference (no Hydra preset reaches it); first-class selectable here
+    "ncsnpp_spade": SPADENCSNpp,
 }
 
 

@@ -214,3 +214,62 @@ class WSConv(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         return y + bias.astype(x.dtype)
+
+
+class DoubleConv(nn.Module):
+    """(conv3x3 no-bias -> BatchNorm -> ReLU) x 2 (ref ``upsampling.py:4-22``).
+
+    Config-unused in the reference (no Hydra preset instantiates it); kept for
+    inventory parity. ``train`` gates BatchNorm batch-stats mode only.
+    """
+
+    features: int
+    mid_features: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        mid = self.mid_features or self.features
+        for i, feat in enumerate((mid, self.features)):
+            x = nn.Conv(feat, (3, 3), padding=1, use_bias=False, name=f"conv{i}")(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                name=f"bn{i}",
+            )(x)
+            x = nn.relu(x)
+        return x
+
+
+class UpSampler(nn.Module):
+    """Up-scale then :class:`DoubleConv` (ref ``upsampling.py:25-44``).
+
+    ``mode='conv'`` uses a kernel-2/stride-2 transposed conv to the halfway
+    channel count; interpolation modes (``nearest``/``bilinear``) resize by
+    ``scale_factor`` (bilinear with align_corners=True, as torch
+    ``nn.Upsample(align_corners=True)``) and let DoubleConv reduce channels
+    through the halfway count. Config-unused in the reference.
+    """
+
+    in_features: int
+    features: int
+    mode: str = "conv"
+    scale_factor: int = 2
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        h_feat = (self.in_features + self.features) // 2
+        if self.mode in ("conv", "convolution"):
+            x = nn.ConvTranspose(
+                h_feat, (2, 2), strides=(2, 2), padding="VALID", name="up",
+            )(x)
+            x = DoubleConv(self.features, name="conv")(x, train=train)
+        else:
+            b, hh, ww, c = x.shape
+            out_hw = (hh * self.scale_factor, ww * self.scale_factor)
+            if self.mode == "nearest":
+                x = jax.image.resize(x, (b, *out_hw, c), method="nearest")
+            else:
+                from dyffusion_tpu.models.refinenet import resize_bilinear_align_corners
+
+                x = resize_bilinear_align_corners(x, out_hw)
+            x = DoubleConv(self.features, mid_features=h_feat, name="conv")(x, train=train)
+        return x

@@ -18,7 +18,11 @@ DDPM variance-scaling init incl. the near-zero ``init_scale=0`` output convs
 
 The (pseudo-)3D variants are intentionally out of scope: their ``layers3d``
 module is absent from the reference snapshot, making only the 2-D path usable
-(SURVEY.md §2.4).
+(SURVEY.md §2.4). The SPADE variant (``SPADE_NCSNpp``, ``ncsnpp_more.py:451``
++ ``layerspp.MySPADE :98`` / ``ResnetBlockBigGANppSPADE :741`` /
+``get_act_norm("spade") :555``) IS implemented here on its reachable 2-D
+path: conditioning frames drive spatially-adaptive gamma/beta maps inside
+every normalization instead of being concatenated to the input.
 
 TPU-first: NHWC; FIR resampling routes through the fused
 ``dyffusion_tpu.ops.upfirdn2d`` (one dilated depthwise conv) instead of the
@@ -262,6 +266,212 @@ class ResnetBlockDDPM(nn.Module):
         if self.skip_rescale:
             return (x + h) / math.sqrt(2.0)
         return x + h
+
+
+def _torch_nearest_resize(x: Array, size: tuple[int, int]) -> Array:
+    """Nearest-neighbor resize with torch ``F.interpolate(mode="nearest")``
+    index semantics (``floor(i * in/out)``; jax.image.resize uses half-pixel
+    centers, which picks DIFFERENT source pixels on downscale). Static sizes:
+    the gather indices are computed at trace time."""
+    import numpy as np
+
+    H, W = x.shape[1:3]
+    th, tw = size
+    if (H, W) == (th, tw):
+        return x
+    ih = np.floor(np.arange(th) * (H / th)).astype(np.int32)
+    iw = np.floor(np.arange(tw) * (W / tw)).astype(np.int32)
+    return x[:, ih][:, :, iw]
+
+
+class MySPADE(nn.Module):
+    """Spatially-adaptive normalization (ref ``layerspp.MySPADE :98-185``,
+    2-D path): GroupNorm(affine=False, eps=1e-6) whose gamma/beta are MAPS
+    predicted from the (nearest-resized) conditioning frames by a small
+    conv MLP — ``out = norm(x) * (1 + gamma(seg)) + beta(seg)``."""
+
+    ch: int
+    spade_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x: Array, segmap: Array) -> Array:
+        h = nn.GroupNorm(
+            num_groups=_groups(self.ch), epsilon=1e-6,
+            use_bias=False, use_scale=False, name="norm",
+        )(x)
+        seg = _torch_nearest_resize(segmap, (x.shape[1], x.shape[2])).astype(h.dtype)
+        actv = nn.silu(ddpm_conv(self.spade_dim, 3, name="mlp_shared")(seg))
+        gamma = ddpm_conv(self.ch, 3, name="mlp_gamma")(actv)
+        beta = ddpm_conv(self.ch, 3, name="mlp_beta")(actv)
+        return h * (1.0 + gamma) + beta
+
+
+class SPADEActNorm(nn.Module):
+    """``get_act_norm(norm="spade")`` (ref ``layerspp.py:555-645``): MySPADE
+    -> optional AdaGN temb scale/shift (``x = spade(x,cond)*(1+s)+b``) -> act.
+    With ``use_temb=False`` this is the model's final act-norm (no Dense)."""
+
+    ch: int
+    spade_dim: int = 128
+    use_temb: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, temb: Optional[Array], cond: Array) -> Array:
+        h = MySPADE(self.ch, self.spade_dim, name="spade")(x, cond)
+        if self.use_temb and temb is not None:
+            emb = nn.Dense(
+                2 * self.ch, kernel_init=_init(), bias_init=nn.initializers.zeros,
+                name="dense",
+            )(nn.silu(temb))
+            scale, shift = jnp.split(emb[:, None, None, :], 2, axis=-1)
+            h = h * (1.0 + scale.astype(h.dtype)) + shift.astype(h.dtype)
+        return nn.silu(h)
+
+
+class ResnetBlockBigGANSPADE(nn.Module):
+    """BigGAN residual block with SPADE act-norms
+    (ref ``layerspp.ResnetBlockBigGANppSPADE :741-865``, 2-D path):
+    spade-actnorm(x, temb, cond) -> FIR resample h AND x -> conv ->
+    spade-actnorm -> dropout -> near-zero conv -> 1x1 shortcut ->
+    skip-rescale. The conditioning enters ONLY through the norms."""
+
+    out_ch: Optional[int] = None
+    up: bool = False
+    down: bool = False
+    dropout: float = 0.0
+    skip_rescale: bool = True
+    use_temb: bool = True
+    spade_dim: int = 128
+    fir_kernel: Sequence[int] = FIR_KERNEL
+
+    @nn.compact
+    def __call__(
+        self, x: Array, temb: Optional[Array], cond: Array, deterministic: bool = True
+    ) -> Array:
+        C = x.shape[-1]
+        out_ch = self.out_ch or C
+        temb_in = temb if self.use_temb else None
+        h = SPADEActNorm(C, self.spade_dim, name="actnorm0")(x, temb_in, cond)
+        if self.up:
+            h = upsample_2d(h, k=list(self.fir_kernel), factor=2)
+            x = upsample_2d(x, k=list(self.fir_kernel), factor=2)
+        elif self.down:
+            h = downsample_2d(h, k=list(self.fir_kernel), factor=2)
+            x = downsample_2d(x, k=list(self.fir_kernel), factor=2)
+        h = ddpm_conv(out_ch, 3, name="conv1")(h)
+        h = SPADEActNorm(out_ch, self.spade_dim, name="actnorm1")(h, temb_in, cond)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = ddpm_conv(out_ch, 3, name="conv2", init_scale=0.0)(h)
+        if C != out_ch or self.up or self.down:
+            x = nn.Dense(out_ch, kernel_init=_init(), name="shortcut")(x)  # 1x1 conv
+        if self.skip_rescale:
+            return (x + h) / math.sqrt(2.0)
+        return x + h
+
+
+class SPADENCSNpp(nn.Module):
+    """The SPADE NCSN++ variant (ref ``SPADE_NCSNpp``, ``ncsnpp_more.py:
+    451-799``, 2-D path): identical ladder to :class:`NCSNpp` but the
+    conditioning frames are NOT concatenated to the input — they modulate
+    every normalization via spatially-adaptive gamma/beta (MySPADE). The
+    reference hardcodes ``resblock_type="biggan"``, positional time
+    embedding, ``fir=True`` and ``skip_rescale=True`` (``:486-489``); its
+    ``resblock_type=="ddpm"`` branches are dead code there (the forward
+    would pass ``cond`` to a module that doesn't accept it).
+
+    ``condition`` is REQUIRED (the SPADE norms consume it)."""
+
+    dim: int
+    num_input_channels: int
+    num_output_channels: int
+    num_conditional_channels: int
+    spade_dim: int = 128
+    n_head_channels: int = 64
+    dim_mults: Sequence[int] = (1, 2, 3, 4)
+    num_res_blocks: int = 2
+    attn_resolutions: Sequence[int] = (8, 16, 32)
+    dropout: float = 0.0
+    with_time_emb: bool = True
+    cond_emb: bool = False
+    skip_rescale: bool = True
+    spatial_height: int = 32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        time: Optional[Array] = None,
+        condition: Optional[Array] = None,
+        cond_mask: Optional[Array] = None,
+        deterministic: bool = True,
+        train: bool = False,
+    ) -> Array:
+        assert condition is not None, "SPADENCSNpp requires conditioning frames"
+        nf = self.dim
+        n_res = len(self.dim_mults)
+        all_res = [self.spatial_height // (2**i) for i in range(n_res)]
+        cond = condition
+
+        # positional time embedding (the reference hardcodes it, :488)
+        temb = None
+        if self.with_time_emb:
+            emb = timestep_embedding(time, nf)
+            temb = nn.Dense(nf * 4, kernel_init=_init(), name="temb_dense1")(emb)
+            temb = nn.Dense(nf * 4, kernel_init=_init(), name="temb_dense2")(nn.silu(temb))
+            if self.cond_emb:
+                mask = jnp.zeros((x.shape[0],), jnp.int32) if cond_mask is None else cond_mask.astype(jnp.int32)
+                cemb = nn.Embed(2, nf // 2, name="cond_emb")(mask)
+                temb = jnp.concatenate([temb, cemb], axis=-1)
+
+        def rb(name, **kw):
+            return ResnetBlockBigGANSPADE(
+                dropout=self.dropout, skip_rescale=self.skip_rescale,
+                use_temb=self.with_time_emb, spade_dim=self.spade_dim,
+                name=name, **kw,
+            )
+
+        def attn(name, ch):
+            return AttnBlockpp(ch, self.n_head_channels, self.skip_rescale, name=name)
+
+        # downsampling (cond is NOT concatenated — it feeds the SPADE norms)
+        h = ddpm_conv(nf, 3, name="conv_in")(x)
+        hs = [h]
+        in_ch = nf
+        for i_level in range(n_res):
+            for i_block in range(self.num_res_blocks):
+                out_ch = nf * self.dim_mults[i_level]
+                h = rb(f"down{i_level}_block{i_block}", out_ch=out_ch)(h, temb, cond, deterministic)
+                in_ch = out_ch
+                if all_res[i_level] in self.attn_resolutions:
+                    h = attn(f"down{i_level}_attn{i_block}", in_ch)(h)
+                hs.append(h)
+            if i_level != n_res - 1:
+                h = rb(f"down{i_level}_downsample", out_ch=in_ch, down=True)(h, temb, cond, deterministic)
+                hs.append(h)
+
+        # middle
+        h = rb("mid_block1", out_ch=in_ch)(h, temb, cond, deterministic)
+        h = attn("mid_attn", in_ch)(h)
+        h = rb("mid_block2", out_ch=in_ch)(h, temb, cond, deterministic)
+
+        # upsampling
+        for j, i_level in enumerate(reversed(range(n_res))):
+            for i_block in range(self.num_res_blocks + 1):
+                out_ch = nf * self.dim_mults[i_level]
+                skip = hs.pop()
+                h = rb(f"up{j}_block{i_block}", out_ch=out_ch)(
+                    jnp.concatenate([h, skip], axis=-1), temb, cond, deterministic
+                )
+                in_ch = out_ch
+            if all_res[i_level] in self.attn_resolutions:
+                h = attn(f"up{j}_attn", in_ch)(h)
+            if i_level != 0:
+                h = rb(f"up{j}_upsample", out_ch=in_ch, up=True)(h, temb, cond, deterministic)
+        assert not hs
+
+        # final act-norm is get_act_norm("spade") with NO temb Dense (ref :655-663)
+        h = SPADEActNorm(in_ch, self.spade_dim, use_temb=False, name="actnorm_out")(h, None, cond)
+        return ddpm_conv(self.num_output_channels, 3, name="conv_out", init_scale=0.0)(h)
 
 
 class NCSNpp(nn.Module):
