@@ -323,12 +323,16 @@ def create_train_state(config: Dict[str, Any], variables: Dict[str, Any]) -> Tra
 
 
 def _build_mesh(tr_cfg: Dict[str, Any]):
-    """Device mesh for data-parallel training (the reference's one-line DDP,
-    ``configs/trainer/ddp.yaml:5``): ``trainer.devices`` = 'auto' (all
-    accelerator devices; mesh only when >1), an int, or 1 to stay
-    single-device. On the CPU backend 'auto' stays single-device — virtual
-    CPU devices (--xla_force_host_platform_device_count) are a test/dryrun
-    construct and must be opted into with an explicit ``trainer.devices=N``."""
+    """Device mesh for the run. ``trainer.devices`` = 'auto' (all accelerator
+    devices; mesh only when >1), an int, or 1 to stay single-device — the
+    reference's one-line DDP (``configs/trainer/ddp.yaml:5``). On the CPU
+    backend 'auto' stays single-device — virtual CPU devices
+    (--xla_force_host_platform_device_count) are a test/dryrun construct and
+    must be opted into with an explicit ``trainer.devices=N``.
+
+    ``trainer.spatial_shards=K`` (default 1) splits the device pool into a
+    ('data', 'model') grid and shards batches' spatial H axis over 'model'
+    (beyond-reference scaling; see parallel/mesh.py)."""
     from dyffusion_tpu.parallel import make_mesh
 
     devices = tr_cfg.get("devices", "auto")
@@ -336,12 +340,16 @@ def _build_mesh(tr_cfg: Dict[str, Any]):
         n = jax.device_count() if jax.default_backend() != "cpu" else 1
     else:
         n = int(devices)
-    if n <= 1:
+    n_model = int(tr_cfg.get("spatial_shards", 1) or 1)
+    if n <= 1 and n_model <= 1:
         return None
     assert n <= jax.device_count(), (
         f"trainer.devices={n} but only {jax.device_count()} devices available"
     )
-    return make_mesh(n_data=n, devices=jax.devices()[:n])
+    assert n % n_model == 0, (
+        f"trainer.devices={n} not divisible by trainer.spatial_shards={n_model}"
+    )
+    return make_mesh(n_data=n // n_model, n_model=n_model, devices=jax.devices()[:n])
 
 
 def run_experiment(

@@ -4,4 +4,5 @@ from dyffusion_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     shard_batch,
     shard_train_state,
+    value_sharding,
 )

@@ -8,9 +8,14 @@ the gradient all-reduce (psum over ICI) automatically when the jitted train
 step consumes sharded batches with replicated params — no hand-written
 collectives needed (the single-controller recipe of the scaling book).
 
-A 'model' axis is reserved in :func:`make_mesh` for future tensor/spatial
-sharding (SURVEY.md §5.7 extension point); it is size 1 for all reference
-workloads.
+The 'model' axis implements SPATIAL sharding (SURVEY.md §5.7's named
+extension point, beyond the reference's DP-only scaling): batches are
+sharded on their spatial H axis over 'model' (:func:`value_sharding`), and
+XLA's GSPMD partitioner inserts the conv halo exchanges and the
+attention/reduction collectives automatically — the scaling-book recipe
+(annotate shardings, let XLA insert collectives over ICI). Params stay
+replicated. Size 1 (off) for all reference-parity workloads; enable with
+``trainer.spatial_shards=K``.
 
 Multi-host: call ``jax.distributed.initialize()`` before :func:`make_mesh`
 (ref §5.8); per-host data loading feeds
@@ -42,56 +47,81 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def value_sharding(mesh: Mesh, ndim: int, spatial: bool = False) -> NamedSharding:
+    """Sharding for one batch value: axis 0 over 'data', and — when
+    ``spatial`` and the value has a spatial grid (ndim >= 4, layouts
+    ``(B, H, W, C)`` / ``(B, T, H, W, C)``) — the H axis (always ndim-3)
+    over 'model'. Sub-4-D values (times, masks, scalars) replicate over
+    'model'. GSPMD tolerates H not divisible by the axis (implicit padding).
+    """
+    if not spatial or ndim < 4:
+        return NamedSharding(mesh, P("data"))
+    spec = ["data"] + [None] * (ndim - 4) + ["model"]
+    return NamedSharding(mesh, P(*spec))
+
+
 def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def process_local_rows(global_shape, sharding) -> slice:
-    """Row slice (axis 0) of a globally row-sharded array owned by THIS
-    process, derived from the sharding's own device->index map (not assumed).
+def process_local_box(global_shape, sharding) -> tuple:
+    """Slice box of a globally sharded array owned by THIS process, derived
+    from the sharding's own device->index map (not assumed). Per axis, the
+    union of this process's shard spans must be contiguous (a box).
 
     Every host materializes batches with GLOBAL indices (identical shuffle
     permutations from identically-seeded rngs — the analogue of the
     reference's DistributedSampler seed contract under Lightning DDP,
-    ``configs/trainer/ddp.yaml:5``); this slice is the only part each host
-    transfers to its chips.
+    ``configs/trainer/ddp.yaml:5``); this box is the only part each host
+    transfers to its chips. Handles any mix of 'data' (axis 0) and spatial
+    'model' (H axis) sharding.
     """
     idx_map = sharding.addressable_devices_indices_map(tuple(global_shape))
-    n = int(global_shape[0])
-    spans = set()
-    for idx in idx_map.values():
-        r = idx[0]
-        spans.add((r.start or 0, n if r.stop is None else r.stop))
-    spans = sorted(spans)
-    lo, hi = spans[0][0], spans[-1][1]
-    # the process's rows must be contiguous for a single np slice
-    cursor = lo
-    for start, stop in spans:
-        assert start == cursor, (
-            f"non-contiguous process-local rows {spans}; this sharding cannot "
-            "be fed from a contiguous per-process slice"
-        )
-        cursor = stop
-    assert cursor == hi
-    return slice(lo, hi)
+    box = []
+    for axis, size in enumerate(global_shape):
+        size = int(size)
+        spans = set()
+        for idx in idx_map.values():
+            r = idx[axis]
+            spans.add((r.start or 0, size if r.stop is None else r.stop))
+        spans = sorted(spans)
+        lo, hi = spans[0][0], spans[-1][1]
+        cursor = lo
+        for start, stop in spans:
+            assert start <= cursor, (
+                f"non-contiguous process-local spans {spans} on axis {axis}; "
+                "this sharding cannot be fed from one contiguous box per process"
+            )
+            cursor = max(cursor, stop)
+        assert cursor == hi
+        box.append(slice(lo, hi))
+    return tuple(box)
+
+
+def process_local_rows(global_shape, sharding) -> slice:
+    """Axis-0 slice of this process's box (see :func:`process_local_box`)."""
+    return process_local_box(global_shape, sharding)[0]
 
 
 def put_array(v: Any, sharding: NamedSharding):
-    """ONE code path for 1..N processes: place a GLOBAL host array sharded
-    over the data axis. Under multi-process each host transfers only its
-    process-local row slice (``jax.make_array_from_process_local_data``)."""
+    """ONE code path for 1..N processes: place a GLOBAL host array under any
+    row/spatial sharding. Under multi-process each host transfers only its
+    process-local box (``jax.make_array_from_process_local_data``)."""
     v = np.asarray(v)
     if jax.process_count() > 1:
-        sl = process_local_rows(v.shape, sharding)
-        return jax.make_array_from_process_local_data(sharding, v[sl], v.shape)
+        box = process_local_box(v.shape, sharding)
+        return jax.make_array_from_process_local_data(sharding, v[box], v.shape)
     return jax.device_put(v, sharding)
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
-    """Place a host batch sharded over the data axis. Under multi-host each
-    process contributes its own row slice (see :func:`put_array`)."""
-    sh = batch_sharding(mesh)
-    return {k: put_array(v, sh) for k, v in batch.items()}
+def shard_batch(batch: Dict[str, Any], mesh: Mesh, spatial: bool = False) -> Dict[str, Any]:
+    """Place a host batch sharded over the data axis (and, with ``spatial``,
+    grid values' H over 'model'). Under multi-host each process contributes
+    its own row slice (see :func:`put_array`)."""
+    return {
+        k: put_array(v, value_sharding(mesh, np.asarray(v).ndim, spatial))
+        for k, v in batch.items()
+    }
 
 
 def put_replicated(x, rep: NamedSharding):

@@ -34,7 +34,12 @@ import numpy as np
 
 from dyffusion_tpu.training.checkpoint import CheckpointManager
 from dyffusion_tpu.training.state import TrainState
-from dyffusion_tpu.parallel.mesh import batch_sharding, put_array, shard_train_state
+from dyffusion_tpu.parallel.mesh import (
+    batch_sharding,
+    put_array,
+    shard_train_state,
+    value_sharding,
+)
 
 
 def mixed_precision_loss(loss_fn: Callable, dtype=jnp.bfloat16) -> Callable:
@@ -208,6 +213,9 @@ class Trainer:
         self.mesh = mesh
         self._batch_shard = batch_sharding(mesh) if mesh is not None else None
         self._n_data = int(mesh.shape["data"]) if mesh is not None else 1
+        # model-axis > 1 => spatial sharding: grid batches split on H over
+        # 'model' (parallel.mesh.value_sharding); GSPMD inserts the halos
+        self._spatial = mesh is not None and int(mesh.shape.get("model", 1)) > 1
         self.state = shard_train_state(state, mesh) if mesh is not None else state
         self.train_step = make_train_step(loss_fn, watch_gradients=watch_gradients)
         self.eval_fns = {k: jax.jit(v) for k, v in eval_fns.items()}
@@ -242,8 +250,13 @@ class Trainer:
         """Host batch -> device via the ONE process-aware path
         (:func:`parallel.mesh.put_array`): sharded over the data axis on a
         mesh; under multi-process each host transfers only its row slice."""
-        if self._batch_shard is not None:
-            return {k: put_array(v, self._batch_shard) for k, v in batch.items()}
+        if self.mesh is not None:
+            return {
+                k: put_array(
+                    v, value_sharding(self.mesh, np.asarray(v).ndim, self._spatial)
+                )
+                for k, v in batch.items()
+            }
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def _state_tree(self):

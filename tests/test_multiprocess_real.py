@@ -59,6 +59,7 @@ if jax.process_index() == 0:
         "n_processes": jax.process_count(),
         "n_devices": jax.device_count(),
         "mesh_data": int(trainer.mesh.shape["data"]) if trainer.mesh else 0,
+        "mesh_model": int(trainer.mesh.shape.get("model", 1)) if trainer.mesh else 0,
     }
     with open(out_path, "w") as f:
         json.dump(rec, f)
@@ -121,5 +122,48 @@ def test_two_process_driver_matches_single_process(tmp_path):
     assert multi["mesh_data"] == 4 == single["mesh_data"]
 
     # identical data order + replicated state => same losses to fp tolerance
+    np.testing.assert_allclose(multi["loss_epoch"], single["loss_epoch"], rtol=1e-4)
+    np.testing.assert_allclose(multi["best"], single["best"], rtol=1e-3)
+
+
+def test_two_process_spatial_sharding_matches_single_process(tmp_path):
+    """Multi-process + SPATIAL sharding: mesh (data=1, model=4) over 2
+    processes x 2 devices — each process owns only HALF the spatial H axis,
+    so ``put_array`` must feed ``make_array_from_process_local_data`` the
+    process-local H box (``process_local_box``), not just a row slice."""
+    overrides = TINY_ARGS + [
+        "trainer.spatial_shards=4",
+        f"registry_dir={tmp_path}/reg_sp",
+    ]
+
+    single_out = str(tmp_path / "single_sp.json")
+    p = _run_worker({}, overrides, single_out, n_local_devices=4)
+    out, _ = p.communicate(timeout=900)
+    assert p.returncode == 0, f"single-process spatial worker failed:\n{out[-4000:]}"
+    single = json.load(open(single_out))
+    assert single["mesh_model"] == 4 and single["mesh_data"] == 1
+
+    port = _free_port()
+    multi_out = str(tmp_path / "multi_sp.json")
+    procs = []
+    for pid in (0, 1):
+        env = {
+            "JAX_COORDINATOR_ADDRESS": f"localhost:{port}",
+            "JAX_NUM_PROCESSES": "2",
+            "JAX_PROCESS_ID": str(pid),
+        }
+        procs.append(
+            _run_worker(env, overrides + [f"registry_dir={tmp_path}/reg_sp2"],
+                        multi_out, n_local_devices=2)
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"multi-process spatial worker failed:\n{out[-4000:]}"
+    multi = json.load(open(multi_out))
+    assert multi["n_processes"] == 2 and multi["mesh_model"] == 4
+
     np.testing.assert_allclose(multi["loss_epoch"], single["loss_epoch"], rtol=1e-4)
     np.testing.assert_allclose(multi["best"], single["best"], rtol=1e-3)

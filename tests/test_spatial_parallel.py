@@ -1,0 +1,98 @@
+"""Spatial (model-axis) sharding on the virtual 8-device CPU mesh.
+
+Beyond-reference scaling (SURVEY.md §5.7 names spatial sharding of the conv
+UNet as the idiomatic TPU extension; the reference itself is DP-only): batches
+are sharded on their spatial H axis over the mesh's 'model' axis
+(``parallel.mesh.value_sharding``) and XLA's GSPMD partitioner inserts the
+conv halo exchanges / attention collectives. Params stay replicated.
+
+These tests assert (1) the rank->spec routing, (2) forward equivalence of an
+H-sharded UNet vs single-device, (3) the REAL driver path
+(``trainer.spatial_shards``) training + evaluating to the same result as a
+pure-data-parallel run.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from dyffusion_tpu.config import get_config
+from dyffusion_tpu.interface import run_experiment
+from dyffusion_tpu.parallel import make_mesh, shard_train_state, value_sharding
+
+TINY = [
+    "datamodule.n_traj=4",
+    "datamodule.n_time=14",
+    "datamodule.spatial=(8,8)",
+    "datamodule.channels=1",
+    "datamodule.horizon=4",
+    "datamodule.batch_size=8",
+    "datamodule.eval_batch_size=8",
+    "model.dim=8",
+    "model.dim_mults=(1,)",
+    "model.block_dropout=0.2",
+    "module.num_predictions=2",
+    "module.num_predictions_test=2",
+    "trainer.save_checkpoints=False",
+    "trainer.max_epochs=1",
+]
+
+
+def test_value_sharding_rank_routing():
+    mesh = make_mesh(n_data=2, n_model=4)
+    # spatial off: everything rows-only
+    assert value_sharding(mesh, 5, spatial=False).spec == P("data")
+    # spatial on: H (= ndim-3) over 'model' for grid values only
+    assert value_sharding(mesh, 4, spatial=True).spec == P("data", "model")
+    assert value_sharding(mesh, 5, spatial=True).spec == P("data", None, "model")
+    for ndim in (1, 2, 3):
+        assert value_sharding(mesh, ndim, spatial=True).spec == P("data")
+
+
+def test_unet_forward_spatially_sharded_matches_single_device():
+    from dyffusion_tpu.models import Unet
+
+    model = Unet(
+        dim=8, num_input_channels=2, num_output_channels=2,
+        num_conditional_channels=0, dim_mults=(1, 2), with_time_emb=True,
+    )
+    x = np.random.RandomState(0).randn(8, 16, 16, 2).astype(np.float32)
+    t = np.arange(8).astype(np.float32)
+    v = model.init(jax.random.key(0), jnp.asarray(x), jnp.asarray(t))
+    f = jax.jit(lambda v, x, t: model.apply(v, x, t))
+    ref = np.asarray(f(v, jnp.asarray(x), jnp.asarray(t)))
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    out_arr = f(
+        shard_train_state(v, mesh),
+        jax.device_put(x, value_sharding(mesh, 4, spatial=True)),
+        jax.device_put(t, value_sharding(mesh, 1, spatial=True)),
+    )
+    np.testing.assert_allclose(np.asarray(out_arr), ref, atol=1e-5)
+    # GSPMD keeps the spatial layout through the whole ladder (down/attn/up)
+    assert out_arr.sharding.spec == P("data", "model")
+
+
+def test_driver_spatial_shards_matches_data_parallel(tmp_path):
+    """The REAL driver with trainer.devices=8 + trainer.spatial_shards=4
+    (2x4 mesh, data axis 2) reproduces the devices=2 pure-DP run: identical
+    science (same global batch = per-device x n_data), different
+    partitioning."""
+    results = {}
+    meshes = {}
+    for tag, extra in (
+        ("dp", ["trainer.devices=2"]),
+        ("spatial", ["trainer.devices=8", "trainer.spatial_shards=4"]),
+    ):
+        cfg = get_config(
+            "synthetic_interpolation",
+            TINY + extra + [f"registry_dir={tmp_path}/{tag}"],
+        )
+        trainer, best = run_experiment(cfg)
+        results[tag] = best
+        meshes[tag] = trainer.mesh
+    assert int(meshes["spatial"].shape["model"]) == 4
+    assert int(meshes["spatial"].shape["data"]) == 2
+    assert np.isfinite(results["dp"]) and np.isfinite(results["spatial"])
+    np.testing.assert_allclose(results["spatial"], results["dp"], rtol=2e-4)
