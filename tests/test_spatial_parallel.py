@@ -96,3 +96,30 @@ def test_driver_spatial_shards_matches_data_parallel(tmp_path):
     assert int(meshes["spatial"].shape["data"]) == 2
     assert np.isfinite(results["dp"]) and np.isfinite(results["spatial"])
     np.testing.assert_allclose(results["spatial"], results["dp"], rtol=2e-4)
+
+
+def test_driver_stage2_spatial_shards(tmp_path):
+    """Stage-2 DYffusion under dp x sp: the frozen-interpolator handoff, the
+    two-term p_losses and the scan-based cold sampler all run with the H axis
+    sharded over 'model' (GSPMD-partitioned), finishing finite."""
+    cfg1 = get_config(
+        "synthetic_interpolation",
+        TINY + ["trainer.devices=4", "trainer.spatial_shards=2",
+                "trainer.save_checkpoints=True",  # the handoff needs the ckpt
+                f"registry_dir={tmp_path}"],
+    )
+    trainer1, best1 = run_experiment(cfg1)
+    assert np.isfinite(best1)
+    import os
+
+    run_id = os.path.basename(trainer1.ckpt.run_dir) if trainer1.ckpt else None
+    assert run_id, "stage-1 must save a checkpoint for the handoff"
+    cfg2 = get_config(
+        "synthetic_dyffusion",
+        TINY + ["trainer.devices=4", "trainer.spatial_shards=2",
+                f"registry_dir={tmp_path}",
+                f"diffusion.interpolator_run_id={run_id}"],
+    )
+    trainer2, best2 = run_experiment(cfg2)
+    assert int(trainer2.mesh.shape["model"]) == 2
+    assert np.isfinite(best2)
