@@ -352,6 +352,21 @@ def _build_mesh(tr_cfg: Dict[str, Any]):
     return make_mesh(n_data=n // n_model, n_model=n_model, devices=jax.devices()[:n])
 
 
+def _check_spatial_divisibility(mesh, datamodule) -> None:
+    """Spatial sharding splits the grid's H axis into equal blocks
+    (``jax.device_put`` rejects uneven shardings), so H must divide by the
+    mesh's model axis — fail up front with actionable guidance rather than
+    deep inside the first device_put."""
+    if mesh is None or int(mesh.shape.get("model", 1)) <= 1:
+        return
+    n_model = int(mesh.shape["model"])
+    H = int(datamodule.dims["spatial"][0])
+    assert H % n_model == 0, (
+        f"trainer.spatial_shards={n_model} must divide the grid height H={H} "
+        f"(got H % shards = {H % n_model}); pick a divisor of {H}"
+    )
+
+
 def run_experiment(
     config: Dict[str, Any],
     datamodule: Optional[DataModule] = None,
@@ -385,6 +400,7 @@ def run_experiment(
     mesh = _build_mesh(tr_cfg)
     datamodule = datamodule or get_datamodule(config)
     datamodule.setup()
+    _check_spatial_divisibility(mesh, datamodule)
     if mesh is not None:
         # per-device batch semantics: global batch = batch_size x n_data
         # (ref eff-batch math, config_utils.py:153-166)
@@ -510,6 +526,7 @@ def reload_and_test(
 
     datamodule = get_datamodule(config)
     datamodule.setup()
+    _check_spatial_divisibility(mesh, datamodule)
     exp, model, variables, loss_fn, eval_fns, _ = build_experiment(config, datamodule)
     state = create_train_state(config, variables)
     trainer = Trainer(

@@ -52,7 +52,8 @@ def value_sharding(mesh: Mesh, ndim: int, spatial: bool = False) -> NamedShardin
     ``spatial`` and the value has a spatial grid (ndim >= 4, layouts
     ``(B, H, W, C)`` / ``(B, T, H, W, C)``) — the H axis (always ndim-3)
     over 'model'. Sub-4-D values (times, masks, scalars) replicate over
-    'model'. GSPMD tolerates H not divisible by the axis (implicit padding).
+    'model'. H must be divisible by the model-axis size (``jax.device_put``
+    rejects uneven shardings); the driver validates this up front.
     """
     if not spatial or ndim < 4:
         return NamedSharding(mesh, P("data"))

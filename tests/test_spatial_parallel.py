@@ -123,3 +123,19 @@ def test_driver_stage2_spatial_shards(tmp_path):
     trainer2, best2 = run_experiment(cfg2)
     assert int(trainer2.mesh.shape["model"]) == 2
     assert np.isfinite(best2)
+
+
+def test_spatial_shards_must_divide_grid_height(tmp_path):
+    """An H the shards don't divide fails up front with actionable guidance
+    (device_put would otherwise reject the first batch deep in the loop)."""
+    cfg = get_config(
+        "synthetic_interpolation",
+        TINY + [
+            "datamodule.spatial=(9,8)",  # H=9, not divisible by 4
+            "trainer.devices=8",
+            "trainer.spatial_shards=4",
+            f"registry_dir={tmp_path}",
+        ],
+    )
+    with pytest.raises(AssertionError, match="divide the grid height"):
+        run_experiment(cfg)
