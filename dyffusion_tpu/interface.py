@@ -352,18 +352,21 @@ def _build_mesh(tr_cfg: Dict[str, Any]):
     return make_mesh(n_data=n // n_model, n_model=n_model, devices=jax.devices()[:n])
 
 
-def _check_spatial_divisibility(mesh, datamodule) -> None:
-    """Spatial sharding splits the grid's H axis into equal blocks
-    (``jax.device_put`` rejects uneven shardings), so H must divide by the
-    mesh's model axis — fail up front with actionable guidance rather than
-    deep inside the first device_put."""
+def _check_spatial_divisibility(mesh, datamodule, axis: str = "h") -> None:
+    """Spatial sharding splits the grid's H (or W) axis into equal blocks
+    (``jax.device_put`` rejects uneven shardings), so the extent must divide
+    by the mesh's model axis — fail up front with actionable guidance rather
+    than deep inside the first device_put."""
     if mesh is None or int(mesh.shape.get("model", 1)) <= 1:
         return
+    assert axis in ("h", "w"), f"trainer.spatial_axis must be 'h' or 'w', got {axis!r}"
     n_model = int(mesh.shape["model"])
-    H = int(datamodule.dims["spatial"][0])
-    assert H % n_model == 0, (
-        f"trainer.spatial_shards={n_model} must divide the grid height H={H} "
-        f"(got H % shards = {H % n_model}); pick a divisor of {H}"
+    extent = int(datamodule.dims["spatial"][0 if axis == "h" else 1])
+    name = "height H" if axis == "h" else "width W"
+    assert extent % n_model == 0, (
+        f"trainer.spatial_shards={n_model} must divide the grid {name}={extent} "
+        f"(got {extent} % {n_model} = {extent % n_model}); pick a divisor of "
+        f"{extent} or shard the other axis (trainer.spatial_axis)"
     )
 
 
@@ -400,7 +403,7 @@ def run_experiment(
     mesh = _build_mesh(tr_cfg)
     datamodule = datamodule or get_datamodule(config)
     datamodule.setup()
-    _check_spatial_divisibility(mesh, datamodule)
+    _check_spatial_divisibility(mesh, datamodule, tr_cfg.get("spatial_axis", "h"))
     if mesh is not None:
         # per-device batch semantics: global batch = batch_size x n_data
         # (ref eff-batch math, config_utils.py:153-166)
@@ -445,6 +448,7 @@ def run_experiment(
         save_checkpoints=tr_cfg.get("save_checkpoints", True),
         early_stopping_patience=tr_cfg.get("early_stopping_patience"),
         mesh=mesh,
+        spatial_axis=tr_cfg.get("spatial_axis", "h"),
         watch_gradients=tr_cfg.get("watch_gradients", False),
         log_every_n_steps=tr_cfg.get("log_every_n_steps", 50),
     )
@@ -526,13 +530,16 @@ def reload_and_test(
 
     datamodule = get_datamodule(config)
     datamodule.setup()
-    _check_spatial_divisibility(mesh, datamodule)
+    _check_spatial_divisibility(
+        mesh, datamodule, config.get("trainer", {}).get("spatial_axis", "h")
+    )
     exp, model, variables, loss_fn, eval_fns, _ = build_experiment(config, datamodule)
     state = create_train_state(config, variables)
     trainer = Trainer(
         experiment=exp, datamodule=datamodule, state=state, loss_fn=loss_fn,
         eval_fns=eval_fns, run_dir=run_dir, seed=config.get("seed", 0),
         monitor=exp.monitor, save_checkpoints=True, mesh=mesh,
+        spatial_axis=config.get("trainer", {}).get("spatial_axis", "h"),
     )
     if not trainer.maybe_resume(slot=slot) and not trainer.maybe_resume(slot="last"):
         raise FileNotFoundError(f"no checkpoint in {run_dir}")

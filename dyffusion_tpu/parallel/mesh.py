@@ -47,17 +47,23 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
-def value_sharding(mesh: Mesh, ndim: int, spatial: bool = False) -> NamedSharding:
+def value_sharding(
+    mesh: Mesh, ndim: int, spatial: bool = False, axis: str = "h"
+) -> NamedSharding:
     """Sharding for one batch value: axis 0 over 'data', and — when
     ``spatial`` and the value has a spatial grid (ndim >= 4, layouts
-    ``(B, H, W, C)`` / ``(B, T, H, W, C)``) — the H axis (always ndim-3)
-    over 'model'. Sub-4-D values (times, masks, scalars) replicate over
-    'model'. H must be divisible by the model-axis size (``jax.device_put``
-    rejects uneven shardings); the driver validates this up front.
+    ``(B, H, W, C)`` / ``(B, T, H, W, C)``) — the H axis (always ndim-3) or,
+    with ``axis='w'``, the W axis (ndim-2) over 'model' (W is for grids whose
+    H has no useful divisors, e.g. Navier-Stokes 221x42). Sub-4-D values
+    (times, masks, scalars) replicate over 'model'. The sharded extent must
+    be divisible by the model-axis size (``jax.device_put`` rejects uneven
+    shardings); the driver validates this up front.
     """
     if not spatial or ndim < 4:
         return NamedSharding(mesh, P("data"))
-    spec = ["data"] + [None] * (ndim - 4) + ["model"]
+    assert axis in ("h", "w"), f"spatial axis must be 'h' or 'w', got {axis!r}"
+    pos = ndim - 3 if axis == "h" else ndim - 2
+    spec = ["data"] + [None] * (pos - 1) + ["model"]
     return NamedSharding(mesh, P(*spec))
 
 
@@ -115,12 +121,14 @@ def put_array(v: Any, sharding: NamedSharding):
     return jax.device_put(v, sharding)
 
 
-def shard_batch(batch: Dict[str, Any], mesh: Mesh, spatial: bool = False) -> Dict[str, Any]:
+def shard_batch(
+    batch: Dict[str, Any], mesh: Mesh, spatial: bool = False, axis: str = "h"
+) -> Dict[str, Any]:
     """Place a host batch sharded over the data axis (and, with ``spatial``,
-    grid values' H over 'model'). Under multi-host each process contributes
-    its own row slice (see :func:`put_array`)."""
+    grid values' H or W over 'model'). Under multi-host each process
+    contributes its own box (see :func:`put_array`)."""
     return {
-        k: put_array(v, value_sharding(mesh, np.asarray(v).ndim, spatial))
+        k: put_array(v, value_sharding(mesh, np.asarray(v).ndim, spatial, axis))
         for k, v in batch.items()
     }
 

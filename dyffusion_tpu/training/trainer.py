@@ -205,6 +205,7 @@ class Trainer:
         log_fn: Optional[Callable[[Dict[str, float], int], None]] = None,
         early_stopping_patience: Optional[int] = None,
         mesh=None,
+        spatial_axis: str = "h",
         watch_gradients: bool = False,
         log_every_n_steps: int = 50,
     ):
@@ -213,9 +214,11 @@ class Trainer:
         self.mesh = mesh
         self._batch_shard = batch_sharding(mesh) if mesh is not None else None
         self._n_data = int(mesh.shape["data"]) if mesh is not None else 1
-        # model-axis > 1 => spatial sharding: grid batches split on H over
-        # 'model' (parallel.mesh.value_sharding); GSPMD inserts the halos
+        # model-axis > 1 => spatial sharding: grid batches split on H (or W,
+        # trainer.spatial_axis='w') over 'model'
+        # (parallel.mesh.value_sharding); GSPMD inserts the halos
         self._spatial = mesh is not None and int(mesh.shape.get("model", 1)) > 1
+        self._spatial_axis = spatial_axis
         self.state = shard_train_state(state, mesh) if mesh is not None else state
         self.train_step = make_train_step(loss_fn, watch_gradients=watch_gradients)
         self.eval_fns = {k: jax.jit(v) for k, v in eval_fns.items()}
@@ -253,7 +256,10 @@ class Trainer:
         if self.mesh is not None:
             return {
                 k: put_array(
-                    v, value_sharding(self.mesh, np.asarray(v).ndim, self._spatial)
+                    v,
+                    value_sharding(
+                        self.mesh, np.asarray(v).ndim, self._spatial, self._spatial_axis
+                    ),
                 )
                 for k, v in batch.items()
             }

@@ -139,3 +139,54 @@ def test_spatial_shards_must_divide_grid_height(tmp_path):
     )
     with pytest.raises(AssertionError, match="divide the grid height"):
         run_experiment(cfg)
+
+
+def test_value_sharding_w_axis():
+    mesh = make_mesh(n_data=2, n_model=4)
+    assert value_sharding(mesh, 4, spatial=True, axis="w").spec == P("data", None, "model")
+    assert value_sharding(mesh, 5, spatial=True, axis="w").spec == P("data", None, None, "model")
+    assert value_sharding(mesh, 2, spatial=True, axis="w").spec == P("data")
+
+
+def test_unet_forward_w_sharded_matches_single_device():
+    """W-axis sharding (trainer.spatial_axis='w') — for grids whose H has no
+    useful divisors (Navier-Stokes 221x42): 12-wide W over 4 shards."""
+    from dyffusion_tpu.models import Unet
+
+    model = Unet(
+        dim=8, num_input_channels=2, num_output_channels=2,
+        num_conditional_channels=0, dim_mults=(1, 2), with_time_emb=True,
+    )
+    x = np.random.RandomState(1).randn(4, 10, 12, 2).astype(np.float32)
+    t = np.arange(4).astype(np.float32)
+    v = model.init(jax.random.key(0), jnp.asarray(x), jnp.asarray(t))
+    f = jax.jit(lambda v, x, t: model.apply(v, x, t))
+    ref = np.asarray(f(v, jnp.asarray(x), jnp.asarray(t)))
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    out = f(
+        shard_train_state(v, mesh),
+        jax.device_put(x, value_sharding(mesh, 4, spatial=True, axis="w")),
+        jax.device_put(t, value_sharding(mesh, 1, spatial=True, axis="w")),
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+
+def test_driver_spatial_axis_w(tmp_path):
+    """Full driver with trainer.spatial_axis=w on a grid whose H (9) does NOT
+    divide by the shards but whose W (8) does — proves both the guard and the
+    batch sharding follow the configured axis."""
+    cfg = get_config(
+        "synthetic_interpolation",
+        TINY + [
+            "datamodule.spatial=(9,8)",
+            "trainer.devices=4",
+            "trainer.spatial_shards=2",
+            "trainer.spatial_axis=w",
+            "trainer.max_steps=2",
+            f"registry_dir={tmp_path}",
+        ],
+    )
+    trainer, best = run_experiment(cfg)
+    assert int(trainer.mesh.shape["model"]) == 2
+    assert np.isfinite(best)
