@@ -300,14 +300,20 @@ def build_experiment(
     raise ValueError(f"Unknown experiment type: {kind}")
 
 
-def create_train_state(config: Dict[str, Any], variables: Dict[str, Any]) -> TrainState:
+def create_train_state(
+    config: Dict[str, Any],
+    variables: Dict[str, Any],
+    accumulate_grad_batches: Optional[int] = None,
+) -> TrainState:
     mod = config.get("module", {})
     opt = dict(mod.get("optimizer", {"name": "adamw", "lr": 3e-4}))
+    if accumulate_grad_batches is None:
+        accumulate_grad_batches = config.get("trainer", {}).get("accumulate_grad_batches", 1)
     tx = build_optimizer(
         name=opt.pop("name", "adamw"),
         gradient_clip_val=config.get("trainer", {}).get("gradient_clip_val"),
         scheduler=mod.get("scheduler"),
-        accumulate_grad_batches=config.get("trainer", {}).get("accumulate_grad_batches", 1),
+        accumulate_grad_batches=accumulate_grad_batches,
         **opt,
     )
     params = variables["params"]
@@ -409,12 +415,27 @@ def run_experiment(
         # (ref eff-batch math, config_utils.py:153-166)
         n_data = int(mesh.shape["data"])
         datamodule.batch_size = datamodule.batch_size * n_data
-    eff_batch = datamodule.batch_size * tr_cfg.get("accumulate_grad_batches", 1)
+    # trainer.fold_accumulation_into_batch: run the accumulation MICRO-batches
+    # as one physical batch (batch x acc, optimizer every step) — the same
+    # gradient (mean over batch x acc rows either way; equal-size micro
+    # batches), measurably faster on TPU because bigger batches fill the MXU's
+    # M-tiling (PERF.md: B64->B128 doubles train MFU at SST shapes). Pure
+    # execution layout: the run id hashes the effective batch, so folded and
+    # unfolded runs share identity (utils/naming.py). The one semantic shift:
+    # EMA updates once per optimizer step instead of once per micro-batch
+    # (the reference's per-batch EMA cadence under Lightning accumulation).
+    accumulate = int(tr_cfg.get("accumulate_grad_batches", 1) or 1)
+    fold = bool(tr_cfg.get("fold_accumulation_into_batch")) and accumulate > 1
+    if fold:
+        datamodule.batch_size = datamodule.batch_size * accumulate
+        accumulate = 1
+    eff_batch = datamodule.batch_size * accumulate
     log.info(
-        "effective batch size: %d (devices=%d, accumulate=%d)",
+        "effective batch size: %d (devices=%d, accumulate=%d%s)",
         eff_batch,
         int(mesh.shape["data"]) if mesh is not None else 1,
-        tr_cfg.get("accumulate_grad_batches", 1),
+        accumulate,
+        ", accumulation folded into batch" if fold else "",
     )
     exp, model, variables, loss_fn, eval_fns, engine = build_experiment(
         config, datamodule, interpolator=interpolator
@@ -430,7 +451,7 @@ def run_experiment(
         from dyffusion_tpu.training.trainer import mixed_precision_loss
 
         loss_fn = mixed_precision_loss(loss_fn)
-    state = create_train_state(config, variables)
+    state = create_train_state(config, variables, accumulate_grad_batches=accumulate)
     run_id = config.get("run_id") or get_run_id(config)
     run_dir = os.path.join(config.get("registry_dir", "runs"), run_id)
     trainer = Trainer(

@@ -175,9 +175,12 @@ class PreNormResidual(nn.Module):
     fn_kwargs: Dict[str, Any]
 
     @nn.compact
-    def __call__(self, x: Array, **kwargs) -> Array:
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        # explicit (positional-capable) deterministic so the module can sit
+        # under nn.remat(static_argnums=(2,)) — lifted checkpoint cannot mark
+        # keyword arguments static
         fn = self.fn_cls(**self.fn_kwargs, name="fn")
-        return fn(ChannelLayerNorm(self.dim)(x), **kwargs) + x
+        return fn(ChannelLayerNorm(self.dim)(x), deterministic=deterministic) + x
 
 
 def weight_standardize(kernel: Array, eps: float) -> Array:

@@ -135,6 +135,15 @@ class Unet(nn.Module):
     init_kernel_size: int = 7
     attn_heads: int = 4
     attn_dim_head: int = 32
+    # model.remat=true: rematerialize (jax.checkpoint) every ResNet and
+    # attention block — the backward recomputes block-internal activations
+    # instead of keeping them in HBM, trading ~1 extra forward of FLOPs for
+    # activation memory at block granularity. Same params, same dropout
+    # draws; grads match to float-reassociation tolerance (~1e-6 relative,
+    # tests/test_remat.py). The lever that lets
+    # trainer.fold_accumulation_into_batch's bigger physical batch (or a
+    # larger grid) fit in HBM.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -187,8 +196,15 @@ class Unet(nn.Module):
         in_out = list(zip(dims[:-1], dims[1:]))
         n_res = len(in_out)
 
+        # remat: wrap at block granularity (self counts as static arg 0; the
+        # deterministic bool must be static — it gates Python control flow)
+        Res = nn.remat(ResnetBlock, static_argnums=(3,)) if self.remat else ResnetBlock
+        PNR = (
+            nn.remat(PreNormResidual, static_argnums=(2,)) if self.remat else PreNormResidual
+        )
+
         def res_block(dim_out, name):
-            return ResnetBlock(
+            return Res(
                 dim_out=dim_out,
                 groups=self.resnet_block_groups,
                 dropout1=self.block_dropout1,
@@ -199,7 +215,7 @@ class Unet(nn.Module):
             )
 
         def lin_attn(dim, name):
-            return PreNormResidual(
+            return PNR(
                 dim,
                 LinearAttention,
                 dict(
@@ -218,7 +234,7 @@ class Unet(nn.Module):
             x = res_block(dim_in, f"down{i}_block1")(x, t, deterministic)
             hs.append(x)
             x = res_block(dim_in, f"down{i}_block2")(x, t, deterministic)
-            x = lin_attn(dim_in, f"down{i}_attn")(x, deterministic=deterministic)
+            x = lin_attn(dim_in, f"down{i}_attn")(x, deterministic)
             hs.append(x)
             if not is_last and not self.keep_spatial_dims:
                 x = _downsample_conv(dim_out, f"down{i}_downsample")(x)
@@ -227,12 +243,12 @@ class Unet(nn.Module):
 
         mid_dim = dims[-1]
         x = res_block(mid_dim, "mid_block1")(x, t, deterministic)
-        x = PreNormResidual(
+        x = PNR(
             mid_dim,
             Attention,
             dict(dim=mid_dim, heads=self.attn_heads, dim_head=self.attn_dim_head, dropout=self.attn_dropout),
             name="mid_attn",
-        )(x, deterministic=deterministic)
+        )(x, deterministic)
         x = res_block(mid_dim, "mid_block2")(x, t, deterministic)
 
         for i, (dim_in, dim_out) in enumerate(reversed(in_out)):
@@ -241,7 +257,7 @@ class Unet(nn.Module):
             x = res_block(dim_out, f"up{i}_block1")(x, t, deterministic)
             x = jnp.concatenate([x, hs.pop()], axis=-1)
             x = res_block(dim_out, f"up{i}_block2")(x, t, deterministic)
-            x = lin_attn(dim_out, f"up{i}_attn")(x, deterministic=deterministic)
+            x = lin_attn(dim_out, f"up{i}_attn")(x, deterministic)
             if not is_last and not self.keep_spatial_dims:
                 x = Upsample(dim_in, name=f"up{i}_upsample")(x)
             else:

@@ -115,6 +115,11 @@ class UNetSimple(nn.Module):
     upsample_dims: Optional[Tuple[int, int]] = (256, 256)
     dropout: float = 0.0
     input_dropout: float = 0.0
+    # model.remat=true: rematerialize each encoder/decoder block under
+    # jax.checkpoint — block activations recomputed in the backward instead
+    # of held in HBM; grads equal to float-reassociation tolerance
+    # (see models/unet.py and PERF.md)
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -164,14 +169,17 @@ class UNetSimple(nn.Module):
             dict(dim_out=d, bn=True, relu=True, **bkw),
         ]
 
+        # remat at block granularity (deterministic/train are static bools)
+        Blk = nn.remat(UNetBlock, static_argnums=(3, 4)) if self.remat else UNetBlock
+
         skips = []
         for i, spec in enumerate(enc_specs):
-            x = UNetBlock(transposed=False, name=f"enc{i}", **spec)(x, t, deterministic, train)
+            x = Blk(transposed=False, name=f"enc{i}", **spec)(x, t, deterministic, train)
             skips.append(x)
 
         x = skips.pop()
         for i, spec in enumerate(dec_specs):
-            x = UNetBlock(transposed=True, name=f"dec{i}", **spec)(x, t, deterministic, train)
+            x = Blk(transposed=True, name=f"dec{i}", **spec)(x, t, deterministic, train)
             if skips:
                 x = jnp.concatenate([x, skips.pop()], axis=-1)
 

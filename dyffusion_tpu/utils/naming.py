@@ -54,6 +54,12 @@ _VOLATILE_TRAINER = (
     "watch_gradients",
     "early_stopping_patience",
     "num_sanity_val_steps",
+    # execution layout, not science: both enter the id only through
+    # effective_train_batch (batch x data-axis x accumulation), so
+    # batch=64/acc=4 and batch=256/acc=1 (the fold_accumulation_into_batch
+    # throughput lever) are the same optimization and share a run id
+    "accumulate_grad_batches",
+    "fold_accumulation_into_batch",
 )
 _VOLATILE_DATAMODULE = ("eval_batch_size", "num_workers", "data_dir", "batch_size")
 
@@ -83,7 +89,8 @@ def identity_config(config: Dict[str, Any]) -> Dict[str, Any]:
             cfg[section] = {k: v for k, v in cfg[section].items() if k not in volatile}
     per_device = (config.get("datamodule") or {}).get("batch_size")
     if per_device is not None:
-        cfg["effective_train_batch"] = int(per_device) * _data_axis_size(config)
+        acc = int((config.get("trainer") or {}).get("accumulate_grad_batches", 1) or 1)
+        cfg["effective_train_batch"] = int(per_device) * _data_axis_size(config) * acc
     return cfg
 
 

@@ -1,0 +1,150 @@
+"""Fold-accumulation + remat benchmark at SST scale.
+
+The reference's OISST recipe trains with Lightning gradient accumulation
+(``configs/experiment/oisst_pacific.yaml``: accumulate_grad_batches=4 at
+per-device batch 64 — effective 256). ``probe_train_ceiling.py`` measured that
+the dominant 60x60 64->64 train convs DOUBLE their MFU from B64 to B128
+(27.1% -> 51.0% f32): the accumulation micro-batch half-fills the MXU's
+M-tiling. ``trainer.fold_accumulation_into_batch`` runs the effective batch
+physically (one optimizer step per batch — the same gradient, see
+``tests/test_fold_accumulation.py``); ``model.remat`` rematerializes blocks so
+the 4x activation memory of the folded batch fits HBM.
+
+This script measures all four corners (acc x fold, +/- remat) for stage-1
+interpolation and the stage-2 DYffusion two-term ``p_losses`` step, reporting
+examples/sec per EFFECTIVE optimizer step, MFU, and the compiled step's
+temp-allocation (HBM activation) size. Timing ends with a real device->host
+read (PERF.md "measurement pitfalls").
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
+V5E_PEAK_F32 = 98.3e12
+
+from dyffusion_tpu.utils.workloads import sst_overrides, time_train_steps  # noqa: E402
+
+# enough train rows for the folded 256-row batch (train split >= 256 windows)
+SST = sst_overrides([
+    "datamodule.n_traj=32",
+    "datamodule.n_time=20",
+    "trainer.save_checkpoints=False",
+])
+
+
+def _build(preset, overrides, batch_size, accumulate, interpolator=None):
+    from dyffusion_tpu.config import get_config
+    from dyffusion_tpu.interface import build_experiment, create_train_state, get_datamodule
+
+    cfg = get_config(
+        preset,
+        overrides + [
+            f"datamodule.batch_size={batch_size}",
+            f"trainer.accumulate_grad_batches={accumulate}",
+        ],
+    )
+    dm = get_datamodule(cfg)
+    dm.setup()
+    exp, model, variables, loss_fn, eval_fns, engine = build_experiment(
+        cfg, dm, interpolator=interpolator
+    )
+    state = create_train_state(cfg, variables)
+    tensors = dm.split("train").tensors
+    n = int(next(iter(tensors.values())).shape[0])
+    idx = np.arange(batch_size) % n
+    batch = {k: jnp.asarray(np.asarray(v)[idx]) for k, v in tensors.items()}
+    return model, loss_fn, state, batch
+
+
+def bench_corner(loss_fn, state, batch, accumulate, steps):
+    """examples/sec per EFFECTIVE optimizer step: `accumulate` micro steps of
+    B rows each, or one folded step of B rows when accumulate == 1."""
+    from dyffusion_tpu.training.trainer import make_train_step
+
+    train_step = make_train_step(loss_fn)
+    compiled = train_step.lower(state, batch).compile()
+    cost = compiled.cost_analysis()
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    mem = {}
+    try:
+        m = compiled.memory_analysis()
+        mem = {
+            "temp_mb": round(m.temp_size_in_bytes / 2**20, 1),
+            "arg_mb": round(m.argument_size_in_bytes / 2**20, 1),
+        }
+    except Exception:
+        pass
+
+    # steps multiple of accumulate so the timing averages whole cycles
+    n_steps = max(steps - steps % accumulate, accumulate)
+    dt_micro = time_train_steps(train_step, state, batch, n_steps)
+    B = int(next(iter(batch.values())).shape[0])
+    eff_rows = B * accumulate
+    dt_eff = dt_micro * accumulate
+    return {
+        "micro_batch": B,
+        "accumulate": accumulate,
+        "effective_batch": eff_rows,
+        "examples_per_sec": round(eff_rows / dt_eff, 1),
+        "effective_step_ms": round(dt_eff * 1e3, 2),
+        "mfu_pct": round(100 * flops / dt_micro / V5E_PEAK_F32, 2) if flops else None,
+        **mem,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=16)
+    ap.add_argument("--stage", choices=["1", "2", "all"], default="all")
+    ap.add_argument("--eff-batch", type=int, default=256, help="effective batch (ref: 64 x acc 4)")
+    ap.add_argument("--acc", type=int, default=4)
+    args = ap.parse_args()
+
+    from dyffusion_tpu.models import make_apply_fn
+
+    micro = args.eff_batch // args.acc
+    corners = [
+        ("accumulated", dict(batch_size=micro, accumulate=args.acc), []),
+        ("folded", dict(batch_size=args.eff_batch, accumulate=1), []),
+        ("folded_remat", dict(batch_size=args.eff_batch, accumulate=1), ["model.remat=True"]),
+        ("accumulated_remat", dict(batch_size=micro, accumulate=args.acc), ["model.remat=True"]),
+    ]
+
+    results = {}
+    ip = None
+    if args.stage in ("2", "all"):
+        ip_model, _, ip_state, _ = _build("synthetic_interpolation", SST, micro, 1)
+        ip = (make_apply_fn(ip_model), {"params": ip_state.params})
+
+    for stage, preset in (("stage1", "synthetic_interpolation"), ("stage2", "synthetic_dyffusion")):
+        if args.stage not in ("all", stage[-1]):
+            continue
+        for name, kw, extra in corners:
+            key = f"{stage}_{name}"
+            try:
+                _, loss_fn, state, batch = _build(
+                    preset, SST + extra, interpolator=(ip if stage == "stage2" else None), **kw
+                )
+                results[key] = bench_corner(loss_fn, state, batch, kw["accumulate"], args.steps)
+            except Exception as e:  # OOM at the folded batch is itself a datum
+                results[key] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
+            print(key, json.dumps(results[key]))
+
+    print(json.dumps({"fold_remat_bench": results, "backend": jax.default_backend()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""trainer.fold_accumulation_into_batch — accumulation as physical batch.
+
+The reference trains with Lightning gradient accumulation (OISST acc=4,
+NS acc=2 — ``configs/experiment/*.yaml``); optax.MultiSteps reproduces it.
+On TPU the SAME effective batch runs measurably faster as ONE physical batch
+(bigger batches fill the MXU's M-tiling — PERF.md's B64->B128 train-MFU
+doubling), and the gradient is mathematically identical: the mean over
+batch x acc rows equals the mean of the k equal-size micro-batch means.
+These tests pin (1) that optimizer-math identity through the REAL train step,
+(2) run-identity invariance (folded and unfolded runs are the same science and
+share a run id), and (3) the driver wiring.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dyffusion_tpu.config import get_config
+from dyffusion_tpu.interface import run_experiment
+from dyffusion_tpu.training.optim import build_optimizer
+from dyffusion_tpu.training.state import TrainState
+from dyffusion_tpu.training.trainer import make_train_step
+from dyffusion_tpu.utils.naming import get_run_id
+
+TINY = [
+    "datamodule.n_traj=4",
+    "datamodule.n_time=14",
+    "datamodule.spatial=(8,8)",
+    "datamodule.channels=1",
+    "datamodule.horizon=4",
+    "datamodule.batch_size=4",
+    "datamodule.eval_batch_size=4",
+    "model.dim=8",
+    "model.dim_mults=(1,)",
+    "module.num_predictions=2",
+    "trainer.save_checkpoints=False",
+    "trainer.max_epochs=1",
+    "trainer.max_steps=2",
+]
+
+
+def _make_state(accumulate: int) -> TrainState:
+    params = {"w": jnp.ones((3, 5)) * 0.1, "b": jnp.zeros((5,))}
+    tx = build_optimizer(
+        name="adamw", lr=1e-2, gradient_clip_val=1.0,
+        accumulate_grad_batches=accumulate,
+    )
+    return TrainState.create(params=params, tx=tx, rng=jax.random.key(0), use_ema=False)
+
+
+def _loss_fn(variables, batch, rng):
+    # deterministic regression loss (mean over rows) — rng unused so the
+    # micro/folded comparison is exact, not statistical
+    pred = batch["x"] @ variables["params"]["w"] + variables["params"]["b"]
+    loss = jnp.mean((pred - batch["y"]) ** 2)
+    return loss, ({"loss": loss}, {})
+
+
+def test_folded_step_equals_accumulated_micro_steps():
+    """k micro-steps through MultiSteps(k) == ONE folded step at k x B,
+    through the real jitted train step (grad mean + clip + adamw + step)."""
+    k, B = 4, 8
+    rs = np.random.RandomState(0)
+    X = rs.randn(k * B, 3).astype(np.float32)
+    Y = rs.randn(k * B, 5).astype(np.float32)
+
+    step = make_train_step(_loss_fn)
+
+    acc_state = _make_state(accumulate=k)
+    for i in range(k):
+        sl = slice(i * B, (i + 1) * B)
+        acc_state, _ = step(acc_state, {"x": jnp.asarray(X[sl]), "y": jnp.asarray(Y[sl])})
+
+    fold_state = _make_state(accumulate=1)
+    fold_state, _ = step(fold_state, {"x": jnp.asarray(X), "y": jnp.asarray(Y)})
+
+    for p_acc, p_fold in zip(
+        jax.tree_util.tree_leaves(acc_state.params),
+        jax.tree_util.tree_leaves(fold_state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(p_acc), np.asarray(p_fold), atol=1e-6)
+
+
+def test_run_id_invariant_under_fold():
+    """Folded and unfolded configs are the same optimization: same run id.
+    Changing the EFFECTIVE batch is different science: different id."""
+    base = TINY + ["trainer.accumulate_grad_batches=4"]
+    cfg_unfolded = get_config("synthetic_interpolation", base)
+    cfg_folded = get_config(
+        "synthetic_interpolation", base + ["trainer.fold_accumulation_into_batch=True"]
+    )
+    assert get_run_id(cfg_unfolded) == get_run_id(cfg_folded)
+
+    cfg_other = get_config(
+        "synthetic_interpolation", TINY + ["trainer.accumulate_grad_batches=2"]
+    )
+    assert get_run_id(cfg_unfolded) != get_run_id(cfg_other)
+
+
+def test_driver_folds_accumulation(tmp_path):
+    cfg = get_config(
+        "synthetic_interpolation",
+        TINY + [
+            "trainer.accumulate_grad_batches=2",
+            "trainer.fold_accumulation_into_batch=True",
+            f"registry_dir={tmp_path}",
+        ],
+    )
+    trainer, best = run_experiment(cfg)
+    # physical batch = batch_size x accumulate; optimizer steps every batch
+    assert trainer.datamodule.batch_size == 8
+    assert np.isfinite(best)
