@@ -111,6 +111,12 @@ def main():
     ap.add_argument("--stage", choices=["1", "2", "all"], default="all")
     ap.add_argument("--eff-batch", type=int, default=256, help="effective batch (ref: 64 x acc 4)")
     ap.add_argument("--acc", type=int, default=4)
+    ap.add_argument(
+        "--corner",
+        choices=["accumulated", "folded", "folded_remat", "accumulated_remat"],
+        default=None,
+        help="run ONE corner (fresh process => no HBM carry-over between corners)",
+    )
     args = ap.parse_args()
 
     from dyffusion_tpu.models import make_apply_fn
@@ -133,6 +139,8 @@ def main():
         if args.stage not in ("all", stage[-1]):
             continue
         for name, kw, extra in corners:
+            if args.corner and name != args.corner:
+                continue
             key = f"{stage}_{name}"
             try:
                 _, loss_fn, state, batch = _build(
