@@ -503,6 +503,10 @@ class NCSNpp(nn.Module):
     skip_rescale: bool = True
     resblock_type: str = "biggan"  # 'biggan' | 'ddpm'
     spatial_height: int = 32  # all_resolutions derive from this (ref :82)
+    # model.remat=true: rematerialize every residual/attention block under
+    # jax.checkpoint — the backward recomputes block activations instead of
+    # holding them in HBM (see models/unet.py and PERF.md's fold/remat study)
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -539,13 +543,18 @@ class NCSNpp(nn.Module):
 
         def rb(name, **kw):
             cls = ResnetBlockBigGAN if biggan else ResnetBlockDDPM
+            if self.remat:
+                # deterministic (arg 3; self counts as 0) gates Python control
+                # flow inside Dropout, so it must be static under checkpoint
+                cls = nn.remat(cls, static_argnums=(3,))
             return cls(
                 dropout=self.dropout, skip_rescale=self.skip_rescale,
                 use_temb=self.with_time_emb, name=name, **kw,
             )
 
         def attn(name, ch):
-            return AttnBlockpp(ch, self.n_head_channels, self.skip_rescale, name=name)
+            cls = nn.remat(AttnBlockpp) if self.remat else AttnBlockpp
+            return cls(ch, self.n_head_channels, self.skip_rescale, name=name)
 
         # downsampling
         h = ddpm_conv(nf, 3, name="conv_in")(x)
