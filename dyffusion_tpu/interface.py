@@ -304,6 +304,7 @@ def create_train_state(
     config: Dict[str, Any],
     variables: Dict[str, Any],
     accumulate_grad_batches: Optional[int] = None,
+    ema_fold_updates: int = 1,
 ) -> TrainState:
     mod = config.get("module", {})
     opt = dict(mod.get("optimizer", {"name": "adamw", "lr": 3e-4}))
@@ -325,6 +326,7 @@ def create_train_state(
         model_state=model_state,
         use_ema=mod.get("use_ema", False),
         ema_decay=mod.get("ema_decay", 0.9999),
+        ema_fold_updates=ema_fold_updates,
     )
 
 
@@ -421,11 +423,13 @@ def run_experiment(
     # batches), measurably faster on TPU because bigger batches fill the MXU's
     # M-tiling (PERF.md: B64->B128 doubles train MFU at SST shapes). Pure
     # execution layout: the run id hashes the effective batch, so folded and
-    # unfolded runs share identity (utils/naming.py). The one semantic shift:
-    # EMA updates once per optimizer step instead of once per micro-batch
-    # (the reference's per-batch EMA cadence under Lightning accumulation).
+    # unfolded runs share identity (utils/naming.py). The EMA keeps the
+    # reference's per-MICRO-batch cadence either way: a folded step replays
+    # the k-1 stale-params updates + 1 fresh inside apply_gradients
+    # (TrainState.ema_fold_updates), so EMA trajectories are identical.
     accumulate = int(tr_cfg.get("accumulate_grad_batches", 1) or 1)
     fold = bool(tr_cfg.get("fold_accumulation_into_batch")) and accumulate > 1
+    ema_fold = accumulate if fold else 1  # replay the micro-batch EMA cadence
     if fold:
         datamodule.batch_size = datamodule.batch_size * accumulate
         accumulate = 1
@@ -451,7 +455,9 @@ def run_experiment(
         from dyffusion_tpu.training.trainer import mixed_precision_loss
 
         loss_fn = mixed_precision_loss(loss_fn)
-    state = create_train_state(config, variables, accumulate_grad_batches=accumulate)
+    state = create_train_state(
+        config, variables, accumulate_grad_batches=accumulate, ema_fold_updates=ema_fold
+    )
     run_id = config.get("run_id") or get_run_id(config)
     run_dir = os.path.join(config.get("registry_dir", "runs"), run_id)
     trainer = Trainer(

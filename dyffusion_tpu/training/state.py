@@ -30,6 +30,13 @@ class TrainState(struct.PyTreeNode):
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     use_ema: bool = struct.field(pytree_node=False, default=True)
     ema_decay: float = struct.field(pytree_node=False, default=0.9999)
+    # trainer.fold_accumulation_into_batch: the unfolded run updates the EMA
+    # once per accumulation MICRO-batch (Lightning's on_train_batch_end
+    # cadence — k-1 updates against unchanged params, then one against the
+    # freshly-stepped params). A folded step replays exactly that: k-1
+    # stale-params updates + 1 fresh, so folded and unfolded runs produce
+    # IDENTICAL EMA trajectories (tests/test_fold_accumulation.py).
+    ema_fold_updates: int = struct.field(pytree_node=False, default=1)
 
     @classmethod
     def create(
@@ -40,6 +47,7 @@ class TrainState(struct.PyTreeNode):
         model_state: Optional[Params] = None,
         use_ema: bool = True,
         ema_decay: float = 0.9999,
+        ema_fold_updates: int = 1,
     ) -> "TrainState":
         from dyffusion_tpu.training.ema import init_ema
 
@@ -54,6 +62,7 @@ class TrainState(struct.PyTreeNode):
             tx=tx,
             use_ema=use_ema,
             ema_decay=ema_decay,
+            ema_fold_updates=ema_fold_updates,
         )
 
     def apply_gradients(self, grads: Params, model_state_updates: Optional[Params] = None) -> "TrainState":
@@ -62,9 +71,14 @@ class TrainState(struct.PyTreeNode):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
         if self.use_ema:
-            new_ema, new_n = ema_update(
-                self.ema_params, new_params, self.ema_num_updates, self.ema_decay
-            )
+            new_ema, new_n = self.ema_params, self.ema_num_updates
+            # folded accumulation: replay the k-1 micro-batch EMA updates the
+            # unfolded run performs against the not-yet-stepped params (the
+            # warmup decay advances per update, so the loop is not one
+            # power-of-decay update); unrolled — fold factors are tiny (<=4)
+            for _ in range(self.ema_fold_updates - 1):
+                new_ema, new_n = ema_update(new_ema, self.params, new_n, self.ema_decay)
+            new_ema, new_n = ema_update(new_ema, new_params, new_n, self.ema_decay)
         else:
             new_ema, new_n = self.ema_params, self.ema_num_updates
         return self.replace(

@@ -38,13 +38,16 @@ TINY = [
 ]
 
 
-def _make_state(accumulate: int) -> TrainState:
+def _make_state(accumulate: int, use_ema: bool = False, ema_fold_updates: int = 1) -> TrainState:
     params = {"w": jnp.ones((3, 5)) * 0.1, "b": jnp.zeros((5,))}
     tx = build_optimizer(
         name="adamw", lr=1e-2, gradient_clip_val=1.0,
         accumulate_grad_batches=accumulate,
     )
-    return TrainState.create(params=params, tx=tx, rng=jax.random.key(0), use_ema=False)
+    return TrainState.create(
+        params=params, tx=tx, rng=jax.random.key(0),
+        use_ema=use_ema, ema_decay=0.5, ema_fold_updates=ema_fold_updates,
+    )
 
 
 def _loss_fn(variables, batch, rng):
@@ -78,6 +81,43 @@ def test_folded_step_equals_accumulated_micro_steps():
         jax.tree_util.tree_leaves(fold_state.params),
     ):
         np.testing.assert_allclose(np.asarray(p_acc), np.asarray(p_fold), atol=1e-6)
+
+
+def test_folded_ema_trajectory_matches_micro_cadence():
+    """The unfolded run updates the EMA once per MICRO-batch (Lightning's
+    on_train_batch_end under accumulation: k-1 updates against unchanged
+    params, then one against the stepped params — our MultiSteps path does
+    exactly this). The folded step replays that cadence via
+    TrainState.ema_fold_updates, so EMA trajectories are IDENTICAL — warmup
+    decays included (ema_decay=0.5 keeps warmup active past step 10)."""
+    k, B, cycles = 4, 8, 3
+    rs = np.random.RandomState(1)
+    X = rs.randn(cycles * k * B, 3).astype(np.float32)
+    Y = rs.randn(cycles * k * B, 5).astype(np.float32)
+
+    step = make_train_step(_loss_fn)
+
+    acc_state = _make_state(accumulate=k, use_ema=True)
+    for i in range(cycles * k):
+        sl = slice(i * B, (i + 1) * B)
+        acc_state, _ = step(acc_state, {"x": jnp.asarray(X[sl]), "y": jnp.asarray(Y[sl])})
+
+    fold_state = _make_state(accumulate=1, use_ema=True, ema_fold_updates=k)
+    for c in range(cycles):
+        sl = slice(c * k * B, (c + 1) * k * B)
+        fold_state, _ = step(fold_state, {"x": jnp.asarray(X[sl]), "y": jnp.asarray(Y[sl])})
+
+    assert int(acc_state.ema_num_updates) == int(fold_state.ema_num_updates) == cycles * k
+    for a, f in zip(
+        jax.tree_util.tree_leaves(acc_state.ema_params),
+        jax.tree_util.tree_leaves(fold_state.ema_params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(f), atol=1e-6)
+    for a, f in zip(
+        jax.tree_util.tree_leaves(acc_state.params),
+        jax.tree_util.tree_leaves(fold_state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(f), atol=1e-6)
 
 
 def test_run_id_invariant_under_fold():
