@@ -360,6 +360,17 @@ class Trainer:
                 if self.max_steps and step >= self.max_steps:
                     done = True
                     break
+            if n_batches == 0 and not done:
+                # drop_last dropped EVERYTHING: the physical batch (after
+                # device scaling and/or accumulation folding) exceeds the
+                # train split — fail loudly instead of no-op'ing every epoch
+                n_rows = int(next(iter(self.datamodule.split("train").tensors.values())).shape[0])
+                raise ValueError(
+                    f"train epoch produced 0 batches: physical batch_size="
+                    f"{self.datamodule.batch_size} > train split rows={n_rows} "
+                    "(drop_last). Lower datamodule.batch_size / trainer.devices "
+                    "scaling, or disable trainer.fold_accumulation_into_batch."
+                )
             if not done:  # max_steps breaks mid-epoch -> that epoch is partial
                 self.epochs_completed = epoch + 1
             loss_epoch = float(np.sum(jax.device_get(loss_parts))) / max(n_batches, 1) if loss_parts else 0.0

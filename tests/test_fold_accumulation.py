@@ -136,6 +136,23 @@ def test_run_id_invariant_under_fold():
     assert get_run_id(cfg_unfolded) != get_run_id(cfg_other)
 
 
+def test_oversized_folded_batch_fails_loudly(tmp_path):
+    """batch x acc > train rows would drop_last EVERY batch — the trainer
+    raises instead of silently training zero steps per epoch."""
+    import pytest
+
+    cfg = get_config(
+        "synthetic_interpolation",
+        TINY + [
+            "trainer.accumulate_grad_batches=64",
+            "trainer.fold_accumulation_into_batch=True",
+            f"registry_dir={tmp_path}",
+        ],
+    )
+    with pytest.raises(ValueError, match="0 batches"):
+        run_experiment(cfg)
+
+
 def test_driver_folds_accumulation(tmp_path):
     cfg = get_config(
         "synthetic_interpolation",
