@@ -52,23 +52,27 @@ TINY_SST = sst_overrides([
 ])
 
 
-def build_trainer():
+def build_trainer(extra_overrides=(), _cache={}):
     from dyffusion_tpu.config import get_config
     from dyffusion_tpu.interface import build_experiment, create_train_state, get_datamodule
     from dyffusion_tpu.models import make_apply_fn
     from dyffusion_tpu.training.trainer import Trainer
 
     # stage-1 interpolator (randomly initialized — throughput is
-    # weight-independent), passed in-memory as the frozen interpolator
-    cfg1 = get_config("synthetic_interpolation", TINY_SST)
-    dm = get_datamodule(cfg1)
-    dm.setup()
-    _, ip_model, ip_vars, _, _, _ = build_experiment(cfg1, dm)
-    ip_apply = make_apply_fn(ip_model)
+    # weight-independent), passed in-memory as the frozen interpolator;
+    # shared across trainer variants (parity + folded-recipe)
+    if not _cache:
+        cfg1 = get_config("synthetic_interpolation", TINY_SST)
+        dm = get_datamodule(cfg1)
+        dm.setup()
+        _, ip_model, ip_vars, _, _, _ = build_experiment(cfg1, dm)
+        _cache["dm"] = dm
+        _cache["ip"] = (make_apply_fn(ip_model), ip_vars)
+    dm = _cache["dm"]
 
-    cfg = get_config("synthetic_dyffusion", TINY_SST)
+    cfg = get_config("synthetic_dyffusion", TINY_SST + list(extra_overrides))
     exp, model, variables, loss_fn, eval_fns, engine = build_experiment(
-        cfg, dm, interpolator=(ip_apply, ip_vars)
+        cfg, dm, interpolator=_cache["ip"]
     )
     state = create_train_state(cfg, variables)
     return Trainer(
@@ -112,6 +116,14 @@ def main():
         best = max(best, metrics["val/frames_per_sec_per_chip"])
     fps_per_chip = best
     train = bench_train_step(trainer)
+    # the round-3 folded-accumulation recipe (PERF.md): the reference's
+    # eff-256 OISST recipe run as B128 x acc2 + block remat — same gradient,
+    # same EMA trajectory, same run id, bigger MXU M-tile fill
+    folded = bench_train_step(
+        build_trainer(["model.remat=True"]), batch_size=128, steps=12
+    )
+    train["train_examples_per_sec_folded_recipe"] = folded["train_examples_per_sec"]
+    train["folded_recipe"] = "B128 x acc2 + model.remat (trainer.fold_accumulation_into_batch, PERF.md)"
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
     if os.path.exists(baseline_path):
