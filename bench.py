@@ -120,7 +120,13 @@ def main():
     # eff-256 OISST recipe run as B128 x acc2 + block remat — same gradient,
     # same EMA trajectory, same run id, bigger MXU M-tile fill
     folded = bench_train_step(
-        build_trainer(["model.remat=True"]), batch_size=128, steps=12
+        build_trainer([
+            "model.remat=True",
+            "trainer.accumulate_grad_batches=2",
+            "trainer.fold_accumulation_into_batch=True",
+        ]),
+        batch_size=128,
+        steps=12,
     )
     train["train_examples_per_sec_folded_recipe"] = folded["train_examples_per_sec"]
     train["folded_recipe"] = "B128 x acc2 + model.remat (trainer.fold_accumulation_into_batch, PERF.md)"

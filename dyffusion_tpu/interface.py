@@ -84,6 +84,13 @@ def build_backbone(model_cfg: Dict[str, Any], spec: BackboneSpec):
     if dropped:
         import logging
 
+        if cfg.get("remat") and "remat" in dropped:
+            # remat is an advertised OOM-relief lever (docs/CONFIG.md); a
+            # silent drop would leave the user OOM'ing "with remat on"
+            logging.getLogger(__name__).warning(
+                "model.remat=true has no effect on backbone '%s' (no remat "
+                "support); the run proceeds WITHOUT rematerialization", name
+            )
         logging.getLogger(__name__).debug("dropping model kwargs %s for %s", dropped, name)
     return cls(
         num_input_channels=spec.num_input_channels,
@@ -300,16 +307,30 @@ def build_experiment(
     raise ValueError(f"Unknown experiment type: {kind}")
 
 
+def accumulation_layout(config: Dict[str, Any]) -> Tuple[int, int]:
+    """(optimizer accumulation, fold factor) for the config's execution
+    layout. Unfolded: (trainer.accumulate_grad_batches, 1). With
+    trainer.fold_accumulation_into_batch: (1, accumulate) — the micro-batches
+    run as one physical batch, MultiSteps drops out of the optimizer, and the
+    state replays the micro-batch EMA/step cadence via the fold factor."""
+    tr = config.get("trainer", {}) or {}
+    acc = int(tr.get("accumulate_grad_batches", 1) or 1)
+    fold = bool(tr.get("fold_accumulation_into_batch")) and acc > 1
+    return (1, acc) if fold else (acc, 1)
+
+
 def create_train_state(
     config: Dict[str, Any],
     variables: Dict[str, Any],
-    accumulate_grad_batches: Optional[int] = None,
-    ema_fold_updates: int = 1,
 ) -> TrainState:
+    """Build the train state from config. trainer.fold_accumulation_into_batch
+    is normalized HERE — the optimizer drops MultiSteps and the state carries
+    the fold factor — so every entry point (run_experiment, reload_and_test,
+    benches) derives the SAME opt-state structure from the same config: a
+    folded run's checkpoint reloads cleanly in test mode."""
     mod = config.get("module", {})
     opt = dict(mod.get("optimizer", {"name": "adamw", "lr": 3e-4}))
-    if accumulate_grad_batches is None:
-        accumulate_grad_batches = config.get("trainer", {}).get("accumulate_grad_batches", 1)
+    accumulate_grad_batches, fold_factor = accumulation_layout(config)
     tx = build_optimizer(
         name=opt.pop("name", "adamw"),
         gradient_clip_val=config.get("trainer", {}).get("gradient_clip_val"),
@@ -326,7 +347,7 @@ def create_train_state(
         model_state=model_state,
         use_ema=mod.get("use_ema", False),
         ema_decay=mod.get("ema_decay", 0.9999),
-        ema_fold_updates=ema_fold_updates,
+        fold_factor=fold_factor,
     )
 
 
@@ -426,13 +447,12 @@ def run_experiment(
     # unfolded runs share identity (utils/naming.py). The EMA keeps the
     # reference's per-MICRO-batch cadence either way: a folded step replays
     # the k-1 stale-params updates + 1 fresh inside apply_gradients
-    # (TrainState.ema_fold_updates), so EMA trajectories are identical.
-    accumulate = int(tr_cfg.get("accumulate_grad_batches", 1) or 1)
-    fold = bool(tr_cfg.get("fold_accumulation_into_batch")) and accumulate > 1
-    ema_fold = accumulate if fold else 1  # replay the micro-batch EMA cadence
+    # (TrainState.fold_factor), so EMA trajectories are identical, and
+    # `step` counts micro-batches in every layout (max_steps parity).
+    accumulate, fold_factor = accumulation_layout(config)
+    fold = fold_factor > 1
     if fold:
-        datamodule.batch_size = datamodule.batch_size * accumulate
-        accumulate = 1
+        datamodule.batch_size = datamodule.batch_size * fold_factor
     eff_batch = datamodule.batch_size * accumulate
     log.info(
         "effective batch size: %d (devices=%d, accumulate=%d%s)",
@@ -455,9 +475,7 @@ def run_experiment(
         from dyffusion_tpu.training.trainer import mixed_precision_loss
 
         loss_fn = mixed_precision_loss(loss_fn)
-    state = create_train_state(
-        config, variables, accumulate_grad_batches=accumulate, ema_fold_updates=ema_fold
-    )
+    state = create_train_state(config, variables)
     run_id = config.get("run_id") or get_run_id(config)
     run_dir = os.path.join(config.get("registry_dir", "runs"), run_id)
     trainer = Trainer(

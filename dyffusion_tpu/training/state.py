@@ -30,13 +30,16 @@ class TrainState(struct.PyTreeNode):
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     use_ema: bool = struct.field(pytree_node=False, default=True)
     ema_decay: float = struct.field(pytree_node=False, default=0.9999)
-    # trainer.fold_accumulation_into_batch: the unfolded run updates the EMA
-    # once per accumulation MICRO-batch (Lightning's on_train_batch_end
-    # cadence — k-1 updates against unchanged params, then one against the
-    # freshly-stepped params). A folded step replays exactly that: k-1
-    # stale-params updates + 1 fresh, so folded and unfolded runs produce
-    # IDENTICAL EMA trajectories (tests/test_fold_accumulation.py).
-    ema_fold_updates: int = struct.field(pytree_node=False, default=1)
+    # trainer.fold_accumulation_into_batch: how many accumulation
+    # micro-batches one apply_gradients call represents (1 = unfolded). The
+    # unfolded run updates the EMA once per MICRO-batch (Lightning's
+    # on_train_batch_end cadence — k-1 updates against unchanged params,
+    # then one against the freshly-stepped params) and counts `step` per
+    # micro-batch; a folded step replays exactly that (k-1 stale-params EMA
+    # updates + 1 fresh) and advances `step` by k, so folded and unfolded
+    # runs produce IDENTICAL EMA trajectories and step units
+    # (tests/test_fold_accumulation.py).
+    fold_factor: int = struct.field(pytree_node=False, default=1)
 
     @classmethod
     def create(
@@ -47,7 +50,7 @@ class TrainState(struct.PyTreeNode):
         model_state: Optional[Params] = None,
         use_ema: bool = True,
         ema_decay: float = 0.9999,
-        ema_fold_updates: int = 1,
+        fold_factor: int = 1,
     ) -> "TrainState":
         from dyffusion_tpu.training.ema import init_ema
 
@@ -62,7 +65,7 @@ class TrainState(struct.PyTreeNode):
             tx=tx,
             use_ema=use_ema,
             ema_decay=ema_decay,
-            ema_fold_updates=ema_fold_updates,
+            fold_factor=fold_factor,
         )
 
     def apply_gradients(self, grads: Params, model_state_updates: Optional[Params] = None) -> "TrainState":
@@ -76,13 +79,15 @@ class TrainState(struct.PyTreeNode):
             # unfolded run performs against the not-yet-stepped params (the
             # warmup decay advances per update, so the loop is not one
             # power-of-decay update); unrolled — fold factors are tiny (<=4)
-            for _ in range(self.ema_fold_updates - 1):
+            for _ in range(self.fold_factor - 1):
                 new_ema, new_n = ema_update(new_ema, self.params, new_n, self.ema_decay)
             new_ema, new_n = ema_update(new_ema, new_params, new_n, self.ema_decay)
         else:
             new_ema, new_n = self.ema_params, self.ema_num_updates
         return self.replace(
-            step=self.step + 1,
+            # step counts MICRO-batches in every layout, so max_steps, resume
+            # counters and logging cadence keep one unit under folding
+            step=self.step + self.fold_factor,
             params=new_params,
             model_state=model_state_updates if model_state_updates is not None else self.model_state,
             ema_params=new_ema,

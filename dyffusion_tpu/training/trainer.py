@@ -266,25 +266,46 @@ class Trainer:
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def _state_tree(self):
+        """Checkpoint tree. opt_state is saved in CANONICAL form — the inner
+        optimizer state, with any optax.MultiSteps wrapper stripped — so the
+        checkpoint is layout-invariant: a run saved under gradient
+        accumulation restores into a folded relaunch (and vice versa; the
+        two share a run id by design). The dropped accumulator matches the
+        reference's semantics: Lightning accumulates in ``.grad`` attributes,
+        which its checkpoints never persist either."""
+        import optax
+
         s = self.state
+        opt = s.opt_state
+        if isinstance(opt, optax.MultiStepsState):
+            opt = opt.inner_opt_state
         return {
             "step": s.step,
             "params": s.params,
             "model_state": s.model_state,
             "ema_params": s.ema_params,
             "ema_num_updates": s.ema_num_updates,
-            "opt_state": s.opt_state,
+            "opt_state": opt,
             "rng": jax.random.key_data(s.rng),
         }
 
     def _load_state_tree(self, tree):
+        import optax
+
+        opt = tree["opt_state"]
+        cur = self.state.opt_state
+        if isinstance(cur, optax.MultiStepsState) and not isinstance(opt, optax.MultiStepsState):
+            # canonical (inner) state restored into an accumulating layout:
+            # rewrap with a fresh cycle (mini_step 0, zero accumulator — the
+            # unit the reference's checkpoints carry too)
+            opt = cur._replace(inner_opt_state=opt)
         self.state = self.state.replace(
             step=jnp.asarray(tree["step"]),
             params=tree["params"],
             model_state=tree["model_state"],
             ema_params=tree["ema_params"],
             ema_num_updates=jnp.asarray(tree["ema_num_updates"]),
-            opt_state=tree["opt_state"],
+            opt_state=opt,
             rng=jax.random.wrap_key_data(jnp.asarray(tree["rng"])),
         )
         if self.mesh is not None:
@@ -293,9 +314,20 @@ class Trainer:
     def maybe_resume(self, slot: str = "last") -> bool:
         """Resume from 'last' (training) or 'best' (test-mode reload)
         (ref ``train.py:44-69``: last.ckpt on resume, best ckpt for test)."""
+        import optax
+
         if self.ckpt is None or not self.ckpt.has(slot):
             return False
-        tree = self.ckpt.restore(self._state_tree(), slot)
+        try:
+            tree = self.ckpt.restore(self._state_tree(), slot)
+        except Exception:
+            # legacy checkpoint (pre-canonical): full MultiSteps-wrapped
+            # opt_state on disk — retry with the full-layout template
+            if not isinstance(self.state.opt_state, optax.MultiStepsState):
+                raise
+            legacy = dict(self._state_tree())
+            legacy["opt_state"] = self.state.opt_state
+            tree = self.ckpt.restore(legacy, slot)
         self._load_state_tree(tree)
         return True
 
@@ -335,12 +367,16 @@ class Trainer:
             t_log, step_at_log = time.time(), step
             # prefetching loader: native batch gather + background device
             # staging, overlapping host assembly with the jitted step
+            # step counts MICRO-batches in every layout (a folded batch is
+            # fold_factor micro-batches of data), so max_steps and resume
+            # counters mean the same thing folded or not
+            step_units = int(getattr(self.state, "fold_factor", 1) or 1)
             for batch in self.datamodule.train_loader(rng=self._np_rng, device_put=self._put):
                 self.state, metrics = self.train_step(self.state, batch)
                 loss_parts.append(metrics["loss"])
                 n_batches += 1
-                step += 1
-                if step % self.log_every_n_steps == 0:
+                step += step_units
+                if step % self.log_every_n_steps < step_units:
                     now = time.time()
                     log_metrics = {
                         # this float() is the ONLY host sync in the window

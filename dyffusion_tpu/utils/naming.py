@@ -62,6 +62,9 @@ _VOLATILE_TRAINER = (
     "fold_accumulation_into_batch",
 )
 _VOLATILE_DATAMODULE = ("eval_batch_size", "num_workers", "data_dir", "batch_size")
+# model-section keys that change the execution schedule, not the function the
+# network computes: remat recomputes identical activations in the backward
+_VOLATILE_MODEL = ("remat",)
 
 
 def _data_axis_size(config: Dict[str, Any]) -> int:
@@ -84,13 +87,24 @@ def identity_config(config: Dict[str, Any]) -> Dict[str, Any]:
     same per-device batch are different runs and must not resume each other.
     """
     cfg = {k: v for k, v in config.items() if k not in _VOLATILE_TOP}
-    for section, volatile in (("trainer", _VOLATILE_TRAINER), ("datamodule", _VOLATILE_DATAMODULE)):
+    for section, volatile in (
+        ("trainer", _VOLATILE_TRAINER),
+        ("datamodule", _VOLATILE_DATAMODULE),
+        ("model", _VOLATILE_MODEL),
+    ):
         if isinstance(cfg.get(section), dict):
             cfg[section] = {k: v for k, v in cfg[section].items() if k not in volatile}
     per_device = (config.get("datamodule") or {}).get("batch_size")
+    acc = int((config.get("trainer") or {}).get("accumulate_grad_batches", 1) or 1)
     if per_device is not None:
-        acc = int((config.get("trainer") or {}).get("accumulate_grad_batches", 1) or 1)
         cfg["effective_train_batch"] = int(per_device) * _data_axis_size(config) * acc
+    # EMA cadence IS science when EMA is on: the shadow updates once per
+    # micro-batch (warmup counter included), so B64 x acc4 (4 updates per
+    # effective batch — folded or not, the fold replays them) and B128 x acc2
+    # (2 updates) are different EMA trajectories and must not share a run id.
+    # With EMA off the layout is trajectory-free and stays un-hashed.
+    if (config.get("module") or {}).get("use_ema"):
+        cfg["ema_updates_per_effective_batch"] = acc
     return cfg
 
 
