@@ -395,6 +395,8 @@ class SPADENCSNpp(nn.Module):
     cond_emb: bool = False
     skip_rescale: bool = True
     spatial_height: int = 32
+    # model.remat=true: block-granular jax.checkpoint (see NCSNpp.remat)
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -424,14 +426,20 @@ class SPADENCSNpp(nn.Module):
                 temb = jnp.concatenate([temb, cemb], axis=-1)
 
         def rb(name, **kw):
-            return ResnetBlockBigGANSPADE(
+            cls = ResnetBlockBigGANSPADE
+            if self.remat:
+                # (self, x, temb, cond, deterministic): deterministic (arg 4)
+                # gates Dropout's Python control flow -> static
+                cls = nn.remat(cls, static_argnums=(4,))
+            return cls(
                 dropout=self.dropout, skip_rescale=self.skip_rescale,
                 use_temb=self.with_time_emb, spade_dim=self.spade_dim,
                 name=name, **kw,
             )
 
         def attn(name, ch):
-            return AttnBlockpp(ch, self.n_head_channels, self.skip_rescale, name=name)
+            cls = nn.remat(AttnBlockpp) if self.remat else AttnBlockpp
+            return cls(ch, self.n_head_channels, self.skip_rescale, name=name)
 
         # downsampling (cond is NOT concatenated — it feeds the SPADE norms)
         h = ddpm_conv(nf, 3, name="conv_in")(x)

@@ -127,6 +127,40 @@ def test_ncsnpp_remat_exact_forward_and_grads():
     _tree_allclose(g0, g1, rtol=2e-3, atol=1e-4)
 
 
+def test_spade_ncsnpp_remat_exact_forward_and_grads():
+    from dyffusion_tpu.models.ncsnpp import SPADENCSNpp
+
+    kw = dict(
+        dim=8, num_input_channels=2, num_output_channels=2,
+        num_conditional_channels=3, spade_dim=8, dim_mults=(1, 2),
+        num_res_blocks=1, attn_resolutions=(4,), dropout=0.3,
+        spatial_height=8, n_head_channels=8,
+    )
+    base, rem = SPADENCSNpp(**kw), SPADENCSNpp(**kw, remat=True)
+    rs = np.random.RandomState(3)
+    x = jnp.asarray(rs.randn(2, 8, 8, 2).astype(np.float32))
+    cond = jnp.asarray(rs.randn(2, 8, 8, 3).astype(np.float32))
+    t = jnp.arange(2).astype(jnp.float32)
+
+    v0 = base.init(jax.random.key(0), x, t, cond)
+    v1 = rem.init(jax.random.key(0), x, t, cond)
+    assert jax.tree_util.tree_structure(v0) == jax.tree_util.tree_structure(v1)
+    _tree_allclose(v0, v1)
+
+    rngs = {"dropout": jax.random.key(9)}
+
+    def loss(model):
+        def f(v):
+            out = model.apply(v, x, t, cond, deterministic=False, rngs=rngs)
+            return jnp.sum(out**2)
+        return f
+
+    o0, g0 = jax.value_and_grad(loss(base))(v0)
+    o1, g1 = jax.value_and_grad(loss(rem))(v0)
+    np.testing.assert_allclose(float(o0), float(o1), rtol=1e-5)
+    _tree_allclose(g0, g1, rtol=2e-3, atol=1e-4)
+
+
 def test_driver_accepts_model_remat(tmp_path):
     cfg = get_config(
         "synthetic_interpolation",
