@@ -530,6 +530,11 @@ def run_experiment(
 
     if resume:
         trainer.maybe_resume()
+    elif trainer.ckpt is not None:
+        # start-over on a dir with stale state: clear old slots/meta so the
+        # fresh run neither inherits a best_score that suppresses its best
+        # slot nor crash-saves the old run's epochs_done next to new params
+        trainer.ckpt.reset_run_state()
     try:
         best = trainer.fit()
     except BaseException:

@@ -156,6 +156,25 @@ class CheckpointManager:
     def has(self, slot: str) -> bool:
         return os.path.exists(self._slot_dir(slot))
 
+    def reset_run_state(self) -> None:
+        """Start-over semantics (``run_experiment(resume=False)`` on a dir
+        that already has state): clear the stale best/last slots and the meta
+        counters so the fresh run neither inherits a best_score that
+        suppresses its checkpoints nor crash-saves the OLD run's epochs_done
+        next to NEW params."""
+        self.best_score = None
+        if jax.process_index() != 0:
+            return
+        for slot in ("best", "last"):
+            path = self._slot_dir(slot)
+            if os.path.exists(path):
+                shutil.rmtree(path)
+        meta = self._read_meta()
+        for key in ("best_score", "best_monitor", "best_step", "last_step", "epochs_done"):
+            meta.pop(key, None)
+        with open(os.path.join(self.run_dir, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+
 
 def find_run_dir(registry_dir: str, run_id: str) -> str:
     """Resolve a run id to its directory in the local registry

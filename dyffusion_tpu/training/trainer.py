@@ -37,8 +37,8 @@ from dyffusion_tpu.training.state import TrainState
 from dyffusion_tpu.parallel.mesh import (
     batch_sharding,
     put_array,
+    shard_batch,
     shard_train_state,
-    value_sharding,
 )
 
 
@@ -117,10 +117,10 @@ def make_train_step(loss_fn: Callable, grad_clip_metrics: bool = True, watch_gra
             metrics = {**metrics, "grad_norm": gnorm, "zero_grad_frac": n_zero / n_total}
         if watch_gradients and isinstance(grads, dict):
             # fixed bins over log10|g| — static shape, cheap on-device;
-            # [-inf,-12) underflow and [2, inf) overflow land in the edge bins
-            edges = jnp.concatenate(
-                [jnp.array([-jnp.inf]), jnp.linspace(-12.0, 2.0, GRAD_HIST_BINS - 1), jnp.array([jnp.inf])]
-            )
+            # [-inf,-12) underflow and [2, inf) overflow land in the edge
+            # bins; single source of truth so metrics.jsonl consumers decode
+            # with the same edges
+            edges = jnp.asarray(GRAD_HIST_EDGES)
             for mod, sub in grads.items():
                 sub_leaves = jax.tree_util.tree_leaves(sub)
                 metrics[f"grads/{mod}/norm"] = jnp.sqrt(
@@ -254,15 +254,7 @@ class Trainer:
         (:func:`parallel.mesh.put_array`): sharded over the data axis on a
         mesh; under multi-process each host transfers only its row slice."""
         if self.mesh is not None:
-            return {
-                k: put_array(
-                    v,
-                    value_sharding(
-                        self.mesh, np.asarray(v).ndim, self._spatial, self._spatial_axis
-                    ),
-                )
-                for k, v in batch.items()
-            }
+            return shard_batch(batch, self.mesh, self._spatial, self._spatial_axis)
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
     def _state_tree(self):
@@ -425,7 +417,13 @@ class Trainer:
                 improved = False
                 if self.ckpt is not None:
                     improved = self.ckpt.save_best_if_improved(self._state_tree(), score, step)
-                    self.ckpt.save_last(self._state_tree(), step, epochs_done=epoch + 1)
+                    # epochs_completed, NOT epoch+1: when max_steps stops
+                    # training mid-epoch the partial epoch must not be
+                    # recorded as done — resume would skip its remainder and
+                    # every relaunch of a maxed-out run would creep the count
+                    self.ckpt.save_last(
+                        self._state_tree(), step, epochs_done=self.epochs_completed
+                    )
                 if np.isfinite(score):
                     prev_best = best
                     best = score if np.isnan(best) else (
@@ -542,12 +540,15 @@ class Trainer:
         self.last_eval_curves = dict(curves)
         # sampler throughput as a first-class metric (SURVEY.md §5.1 / the
         # BASELINE.md north-star quantity): ensemble-member frames per second
-        # per chip produced by the eval sampler. Normalized by the data-axis
-        # size of the mesh ACTUALLY used (1 off-mesh) — NOT jax.device_count(),
-        # which over-counts idle devices (VERDICT r2 weak #5).
+        # per chip produced by the eval sampler. Normalized by the TOTAL size
+        # of the mesh ACTUALLY used (1 off-mesh) — data axis x model axis:
+        # under spatial sharding the model-axis chips do the halo-exchanged
+        # conv work too and must count. NOT jax.device_count(), which
+        # over-counts idle devices (VERDICT r2 weak #5).
         if n_frames and sampling_time > 0:
+            n_chips = int(self.mesh.size) if self.mesh is not None else 1
             metrics[f"{split}/frames_per_sec_per_chip"] = (
-                n_frames / sampling_time / self._n_data
+                n_frames / sampling_time / n_chips
             )
         return metrics
 
@@ -578,7 +579,15 @@ class Trainer:
         ``forecasting_multi_horizon.py:262-279`` ->
         ``wandb_callbacks.save_arrays_as_line_plot:102-150``)."""
         metrics = self.evaluate("test")
-        if save_curves and self.ckpt is not None and self.last_eval_curves:
+        # rank-0-only like every other registry write: on a multi-host pod
+        # (reload_and_test builds the mesh on all ranks) concurrent writers
+        # to one shared-filesystem npz would tear it
+        if (
+            save_curves
+            and self.ckpt is not None
+            and self.last_eval_curves
+            and jax.process_index() == 0
+        ):
             from dyffusion_tpu.utils.logging import save_arrays_as_line_plot
 
             for name, curve in self.last_eval_curves.items():

@@ -60,6 +60,12 @@ _VOLATILE_TRAINER = (
     # throughput lever) are the same optimization and share a run id
     "accumulate_grad_batches",
     "fold_accumulation_into_batch",
+    # spatial (model-axis) sharding splits each example's grid over chips —
+    # identical math per example (test_spatial_parallel.py proves sharded ==
+    # single-device); only the data-axis size it leaves is science, via
+    # effective_train_batch below
+    "spatial_shards",
+    "spatial_axis",
 )
 _VOLATILE_DATAMODULE = ("eval_batch_size", "num_workers", "data_dir", "batch_size")
 # model-section keys that change the execution schedule, not the function the
@@ -68,13 +74,19 @@ _VOLATILE_MODEL = ("remat",)
 
 
 def _data_axis_size(config: Dict[str, Any]) -> int:
-    """Resolve ``trainer.devices`` the way ``interface._build_mesh`` does."""
-    devices = (config.get("trainer") or {}).get("devices", "auto")
+    """Resolve the DATA axis of the mesh the way ``interface._build_mesh``
+    does: ``trainer.devices`` divided by ``trainer.spatial_shards`` (the
+    model axis holds grid shards, not extra batch rows — the global batch
+    scales by the data axis only, ``interface.run_experiment``)."""
+    tr = config.get("trainer") or {}
+    devices = tr.get("devices", "auto")
     if devices in ("auto", -1, None):
         import jax
 
-        return jax.device_count() if jax.default_backend() != "cpu" else 1
-    return max(int(devices), 1)
+        n = jax.device_count() if jax.default_backend() != "cpu" else 1
+    else:
+        n = max(int(devices), 1)
+    return max(n // max(int(tr.get("spatial_shards", 1) or 1), 1), 1)
 
 
 def identity_config(config: Dict[str, Any]) -> Dict[str, Any]:

@@ -145,7 +145,13 @@ def test_fps_normalizes_by_mesh_data_axis_not_device_count(built, mesh, monkeypa
 
     results = {}
     single_metrics = None
-    for name, m in (("single", None), ("mesh8", mesh)):
+    for name, m in (
+        ("single", None),
+        ("mesh8", mesh),
+        # spatial sharding: the model-axis chips do the halo-exchanged conv
+        # work too — per-CHIP throughput divides by the FULL mesh size
+        ("mesh4x2", make_mesh(n_data=4, n_model=2)),
+    ):
         trainer = _mk_trainer(built, mesh=m)
         monkeypatch.setattr(trainer_mod, "time", _FakeTime())
         metrics = trainer.evaluate("val")
@@ -153,8 +159,9 @@ def test_fps_normalizes_by_mesh_data_axis_not_device_count(built, mesh, monkeypa
         if name == "single":
             single_metrics = metrics
 
-    # same split, same frame count, fake 1s duration -> fps == n_frames / n_data
+    # same split, same frame count, fake 1s duration -> fps == n_frames / n_chips
     assert results["single"] == pytest.approx(results["mesh8"] * 8, rel=1e-6)
+    assert results["mesh4x2"] == pytest.approx(results["mesh8"], rel=1e-6)
     # and the single-device number equals the raw valid frame count (divisor 1)
     cfg, dm = built[0], built[1]
     n_val = len(dm.split("val"))

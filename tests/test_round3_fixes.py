@@ -114,3 +114,106 @@ def test_epochs_completed_tracks_partial_epochs(tmp_path):
     # 4 traj x (16-3) windows... batch 4 -> >3 steps per epoch: break mid-epoch 0
     assert trainer.epochs_completed == 0
     assert int(trainer.state.step) == 3
+
+
+def test_run_identity_spatial_layout_invariant():
+    """Spatial (model-axis) sharding is execution layout: devices=8 with
+    spatial_shards=4 leaves a 2-wide data axis, so it is the same science as
+    devices=2 pure-DP (test_spatial_parallel proves sharded == single-device)
+    and must share a run id — and differ from devices=8 pure-DP (4x the
+    global batch)."""
+    from dyffusion_tpu.utils.naming import get_run_id
+
+    sp = get_run_id(
+        get_config(
+            "synthetic_interpolation",
+            TINY + ["trainer.devices=8", "trainer.spatial_shards=4", "datamodule.batch_size=8"],
+        )
+    )
+    dp2 = get_run_id(
+        get_config("synthetic_interpolation", TINY + ["trainer.devices=2", "datamodule.batch_size=8"])
+    )
+    dp8 = get_run_id(
+        get_config("synthetic_interpolation", TINY + ["trainer.devices=8", "datamodule.batch_size=8"])
+    )
+    assert sp == dp2
+    assert sp != dp8
+
+
+def test_max_steps_save_records_completed_epochs_only(tmp_path):
+    """When max_steps stops training mid-epoch, the val-block save_last must
+    persist the COMPLETED epoch count (0 here), not epoch+1 — else resume
+    skips the interrupted epoch's remainder and every relaunch of a
+    maxed-out run creeps the counter."""
+    cfg = get_config(
+        "synthetic_interpolation",
+        TINY + [f"registry_dir={tmp_path}", "trainer.max_steps=3"],
+    )
+    trainer, _ = run_experiment(cfg)
+    assert trainer.epochs_completed == 0
+    meta_path = os.path.join(trainer.ckpt.run_dir, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    assert meta["epochs_done"] == 0
+
+    # relaunching the maxed-out run must not creep the counter either
+    trainer2, _ = run_experiment(cfg)
+    with open(meta_path) as f:
+        meta2 = json.load(f)
+    assert meta2["epochs_done"] == 0
+
+
+def test_fresh_start_resets_stale_registry_state(tmp_path):
+    """run_experiment(resume=False) over a dir with previous state must clear
+    the stale best_score/epochs_done: an inherited best would suppress every
+    best-slot save of the fresh run, and a crash would persist the OLD run's
+    epochs_done next to NEW params."""
+    cfg = get_config("synthetic_interpolation", TINY + [f"registry_dir={tmp_path}"])
+    trainer, _ = run_experiment(cfg)
+    run_dir = trainer.ckpt.run_dir
+    meta_path = os.path.join(run_dir, "meta.json")
+
+    # poison the meta with an unbeatable best (as a stale prior run would)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["best_score"] = -1.0
+    meta["epochs_done"] = 99
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+    trainer2, best2 = run_experiment(cfg, resume=False)
+    with open(meta_path) as f:
+        meta2 = json.load(f)
+    # the fresh run's (worse) score replaced the poisoned one: reset happened
+    assert np.isfinite(best2) and best2 > 0
+    assert meta2["best_score"] == pytest.approx(best2)
+    assert meta2["epochs_done"] == cfg["trainer"]["max_epochs"]
+    assert trainer2.ckpt.has("best") and trainer2.ckpt.has("last")
+
+
+def test_tpu_pod_env_triggers_auto_init(monkeypatch):
+    """The documented Cloud-TPU-pod auto-detection must be reachable: with
+    the launcher's TPU_WORKER_HOSTNAMES set (and no JAX_* overrides),
+    init_distributed calls jax.distributed.initialize()."""
+    import jax
+
+    from dyffusion_tpu.parallel.distributed import init_distributed
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+    monkeypatch.setattr(
+        jax.distributed,
+        "initialize",
+        lambda coordinator_address=None, num_processes=None, process_id=None: calls.append(1),
+    )
+    for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        monkeypatch.delenv(var, raising=False)
+
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES", raising=False)
+    monkeypatch.delenv("TPU_WORKER_COUNT", raising=False)
+    init_distributed()
+    assert calls == []  # single host: still a no-op
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b")
+    init_distributed()
+    assert calls == [1]  # pod: auto-init reached
