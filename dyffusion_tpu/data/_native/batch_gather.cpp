@@ -55,6 +55,7 @@ void gather_rows(const uint8_t* src, const int64_t* indices, int64_t n_idx,
 void gather_rows_f64_to_f32(const double* src, const int64_t* indices,
                             int64_t n_idx, int64_t example_elems, float* dst,
                             int n_threads) {
+  if (n_idx <= 0) return;
   if (n_threads <= 0) {
     n_threads = static_cast<int>(std::thread::hardware_concurrency());
     if (n_threads <= 0) n_threads = 1;

@@ -64,21 +64,58 @@ def native_available() -> bool:
     return _load_native() is not None
 
 
-def gather_batch(src: np.ndarray, indices: np.ndarray, n_threads: int = 0) -> np.ndarray:
-    """``src[indices]`` via the native threaded gather (numpy fallback)."""
-    lib = _load_native()
+def gather_batch(
+    src: np.ndarray,
+    indices: np.ndarray,
+    n_threads: int = 0,
+    out_dtype: Optional[np.dtype] = None,
+) -> np.ndarray:
+    """``src[indices]`` via the native threaded gather (numpy fallback).
+
+    ``out_dtype=np.float32`` with a float64 source dispatches to the fused
+    gather+cast kernel (one pass instead of gather-then-astype) — for
+    pipelines that keep their archives in f64 (e.g. raw xarray NetCDF).
+    Negative indices index from the end, exactly like numpy; out-of-bounds
+    indices raise IndexError on every path (the raw C++ kernel would read
+    out of bounds, so bounds are validated here).
+    """
     indices = np.ascontiguousarray(indices, np.int64)
+    n = src.shape[0]
+    if indices.size == 0:
+        shape = (0,) + src.shape[1:]
+        return np.empty(shape, out_dtype if out_dtype is not None else src.dtype)
+    if indices.min() < -n or indices.max() >= n:
+        raise IndexError(
+            f"gather_batch: index out of bounds for axis 0 with size {n}"
+        )
+    indices = np.where(indices < 0, indices + n, indices)
+    fuse_cast = (
+        out_dtype is not None
+        and np.dtype(out_dtype) == np.float32
+        and src.dtype == np.float64
+    )
+    lib = _load_native()
     if lib is None or not src.flags["C_CONTIGUOUS"]:
-        return src[indices]
+        out = src[indices]
+        return out.astype(out_dtype) if out_dtype is not None else out
+    row_elems = int(np.prod(src.shape[1:], dtype=np.int64))
+    if fuse_cast:
+        out = np.empty((len(indices),) + src.shape[1:], np.float32)
+        lib.gather_rows_f64_to_f32(
+            src.ctypes.data_as(ctypes.c_void_p),
+            indices.ctypes.data_as(ctypes.c_void_p),
+            len(indices), row_elems,
+            out.ctypes.data_as(ctypes.c_void_p), n_threads,
+        )
+        return out
     out = np.empty((len(indices),) + src.shape[1:], src.dtype)
-    example_bytes = int(np.prod(src.shape[1:], dtype=np.int64)) * src.itemsize
     lib.gather_rows(
         src.ctypes.data_as(ctypes.c_void_p),
         indices.ctypes.data_as(ctypes.c_void_p),
-        len(indices), example_bytes,
+        len(indices), row_elems * src.itemsize,
         out.ctypes.data_as(ctypes.c_void_p), n_threads,
     )
-    return out
+    return out.astype(out_dtype) if out_dtype is not None else out
 
 
 class PrefetchIterator:
@@ -113,23 +150,52 @@ class PrefetchIterator:
         if not starts:
             return
         q: Queue = Queue(maxsize=self.prefetch)
+        stop_evt = threading.Event()
 
         def worker():
             try:
                 for s in starts:
+                    if stop_evt.is_set():
+                        return
                     sel = idx[s : s + self.batch_size]
                     batch = {k: gather_batch(v, sel) for k, v in self.tensors.items()}
                     if self.device_put is not None:
                         batch = self.device_put(batch)
-                    q.put(batch)
-            finally:
+                    # bounded put so a stopped consumer can unblock us
+                    while not stop_evt.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except Exception:  # queue.Full
+                            continue
                 q.put(None)
+            except BaseException as e:  # surface worker failures to the consumer
+                while not stop_evt.is_set():
+                    try:
+                        q.put(e, timeout=0.1)
+                        break
+                    except Exception:  # queue.Full
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+            t.join()
+        finally:
+            # consumer stopped early (max_steps break, GeneratorExit, error):
+            # unblock and reap the worker instead of leaking it plus its
+            # device-resident staged batches
+            stop_evt.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except Exception:  # queue.Empty
+                    break
+            t.join(timeout=5.0)

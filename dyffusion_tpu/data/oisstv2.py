@@ -25,7 +25,7 @@ from typing import Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
-from dyffusion_tpu.data.base import DataModule, DatasetSplit
+from dyffusion_tpu.data.base import DataModule, DatasetSplit, sliding_window_multi_horizon
 
 PACIFIC_BOXES = [84, 85, 86, 87, 88, 89, 108, 109, 110, 111, 112]
 
@@ -143,7 +143,21 @@ class OISSTv2DataModule(DataModule):
     def _numpy_cache_file(self, split: str) -> Optional[pathlib.Path]:
         if not self.save_and_load_as_numpy or split == "predict":
             return None
-        return self.numpy_dir / f"{self.dataset_identifier}_{split}.npz"
+        # The reference keys its npz cache on boxes+horizon only
+        # (ref oisstv2.py:86-94), so changing prediction_horizon,
+        # train_start_date, validation_boxes or window silently reuses stale
+        # data. Salt the filename with every field _build_split(split)
+        # actually depends on.
+        import hashlib
+
+        salt_fields = (
+            self.window,
+            self.get_horizon(split),
+            self.slices[split],
+            tuple(self._boxes_for(split)),
+        )
+        salt = hashlib.sha256(repr(salt_fields).encode()).hexdigest()[:10]
+        return self.numpy_dir / f"{self.dataset_identifier}_{split}_{salt}.npz"
 
     def _build_split(self, split: str) -> Dict[str, np.ndarray]:
         cache = self._numpy_cache_file(split)
@@ -167,9 +181,8 @@ class OISSTv2DataModule(DataModule):
                 sel &= time <= stop_d
             sst = sst[sel]
             assert sst.shape[0] >= L, f"box {b} split {split}: {sst.shape[0]} days < {L}"
-            view = np.lib.stride_tricks.sliding_window_view(sst, L, axis=0)
-            # (n_ex, lat, lon, L) -> (n_ex, L, lat, lon, 1)
-            ex = np.moveaxis(view, -1, 1)[..., None]
+            # (n_ex, L, lat, lon) -> (n_ex, L, lat, lon, 1)
+            ex = sliding_window_multi_horizon(sst, self.window, horizon)[..., None]
             per_box.append(np.ascontiguousarray(ex, dtype=np.float32))
         # stack boxes into the batch dim (ref ``stack_boxes_to_batch_dim``)
         dynamics = np.concatenate(per_box, axis=0)

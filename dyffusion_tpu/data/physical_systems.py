@@ -31,7 +31,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from dyffusion_tpu.data.base import DataModule, DatasetSplit
+from dyffusion_tpu.data.base import DataModule, DatasetSplit, sliding_window_multi_horizon
 
 Array = jnp.ndarray
 
@@ -225,13 +225,20 @@ class PhysicalSystemsDataModule(DataModule):
             T = feats.shape[0]
             n_ex = T - L + 1
             assert n_ex > 0, f"trajectory {i} too short: {T} < {L}"
-            view = np.lib.stride_tricks.sliding_window_view(feats, L, axis=0)
-            dynamics = np.ascontiguousarray(np.moveaxis(view, -1, 1))  # (n_ex, L, H, W, C)
+            dynamics = sliding_window_multi_horizon(feats, self.window, horizon)
             out["dynamics"].append(dynamics.astype(np.float32))
 
             def rep(x):
                 return np.repeat(x[None], n_ex, axis=0)
 
+            if tr["condition"] is None:
+                raise ValueError(
+                    f"trajectory {i} of {self.physical_system!r} split "
+                    f"{split!r} has no 'extra_fixed_mask' field: the "
+                    "conditional channel this benchmark feeds the model "
+                    "(ref physical_systems_benchmark.py) is missing from "
+                    "the archive"
+                )
             out["condition"].append(rep(np.asarray(tr["condition"], np.float32)))
             fm = tr["fixed_mask"]
             out["metadata_fixed_mask"].append(

@@ -192,9 +192,17 @@ class LatentDDPMEngine:
 
         img, inter = jax.lax.scan(body, img0, ts)
         if return_intermediates:
-            # every log_every_t-th intermediate + the final image
-            # (ref ``p_sample_loop`` intermediates, ddpm.py:252-269)
-            idx = np.arange(0, self.num_timesteps, max(int(log_every_t), 1))
+            # ref ``p_sample_loop`` (ddpm.py:257-268) logs the image AFTER the
+            # step at every t with ``t % log_every_t == 0 or t == T-1`` (so the
+            # final t=0 denoised image IS included), preceded by the initial
+            # noise (keyed t=T). Scan position p holds the post-step image of
+            # t = T-1-p.
+            lg = max(int(log_every_t), 1)
+            T = self.num_timesteps
+            idx = np.array(
+                [T - 1 - t for t in range(T - 1, -1, -1) if t % lg == 0 or t == T - 1],
+                np.int64,
+            )
             return img, jnp.concatenate([img0[None], inter[idx]], axis=0)
         return img
 

@@ -456,6 +456,17 @@ class DyffusionEngine:
         """
         cfg = self.cfg
         lam1, lam2 = cfg.lambda_reconstruction, cfg.lambda_reconstruction2
+        if condition.shape[-1] != xt_last.shape[-1]:
+            # The reference breaks identically for window>1 training: ref
+            # ``dyffusion.py:513-527`` assigns the C-channel interpolator
+            # output into the (window*C)-channel condition clone, which
+            # errors for C>1 and silently broadcasts for C==1. Fail loudly
+            # instead of tracing a silently-wrong jnp.where broadcast.
+            raise ValueError(
+                "DYffusion training requires a single-frame condition "
+                f"(datamodule.window=1): condition has {condition.shape[-1]} "
+                f"channels but the target frame has {xt_last.shape[-1]}."
+            )
         k_ip1, k_fc1, k_n1, k_ip2, k_fc2, k_n2 = jax.random.split(rng, 6)
         # interpolator dropout is always on during training (ref q_sample :154:
         # ``do_enable = self.training or self.enable_interpolator_dropout``)

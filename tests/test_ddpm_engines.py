@@ -92,3 +92,21 @@ def test_latent_ddpm_sampler_finite():
     cond = jnp.ones((2, 4, 4, 1))
     out = jax.jit(lambda r, c: eng.sample(jnp.float32(1.0), r, c))(jax.random.key(0), cond)
     assert out.shape == (2, 4, 4, 1) and bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_latent_ddpm_intermediates_timesteps_and_final_image():
+    """ref ddpm.py:257-268: intermediates are keyed t = T (initial noise),
+    then every t with ``t % log_every_t == 0 or t == T-1`` logged AFTER the
+    step — so the final denoised (t=0) image is always the last entry."""
+    T, lg = 8, 3
+    eng = LatentDDPMEngine(LatentDDPMConfig(timesteps=T), _toy_denoiser, (4, 4, 1))
+    cond = jnp.ones((2, 4, 4, 1))
+    final, inter = eng.sample(
+        jnp.float32(1.0), jax.random.key(0), cond,
+        return_intermediates=True, log_every_t=lg,
+    )
+    # logged ts: initial(T=8), 7 (==T-1), 6, 3, 0
+    assert inter.shape[0] == 5
+    np.testing.assert_allclose(np.asarray(inter[-1]), np.asarray(final), rtol=1e-6)
+    # entries differ (each is a different step of the chain)
+    assert not np.allclose(np.asarray(inter[0]), np.asarray(inter[-1]))

@@ -182,3 +182,17 @@ def test_sample_ensemble_shape_and_member_diversity():
     assert preds.shape == (3, B, 4, H, W, C)
     # members differ (inputs noise + data+noise conditioning)
     assert not jnp.allclose(preds[0], preds[1])
+
+
+def test_p_losses_rejects_window_stacked_condition():
+    """window>1 DYffusion training is broken in the reference itself (ref
+    dyffusion.py:513-527 assigns the C-channel interpolator output into the
+    window*C condition clone); we fail loudly instead of silently
+    broadcasting."""
+    eng = make_engine(horizon=5)
+    fc, ip = (jnp.float32(0.5), jnp.float32(0.1)), jnp.float32(5.0)
+    xt_last = jnp.ones((B, H, W, C))
+    stacked_cond = jnp.ones((B, H, W, 2 * C))  # window=2
+    t = jnp.zeros((B,))
+    with pytest.raises(ValueError, match="window"):
+        eng.p_losses(fc, ip, jax.random.key(0), xt_last, stacked_cond, t)

@@ -62,3 +62,22 @@ def test_predict_slice(oisst_root):
     )
     dm.setup()
     assert len(dm.split("predict")) == 20 - 4 + 1
+
+
+def test_numpy_cache_key_depends_on_build_inputs(oisst_root):
+    """Changing prediction_horizon / train_start_date / validation_boxes /
+    window must MISS the npz cache instead of silently loading stale data
+    (the reference keys only on boxes+horizon, ref oisstv2.py:86-94)."""
+    base = dict(data_dir=oisst_root, boxes=[84, 85], horizon=3, save_and_load_as_numpy=True)
+    dm = OISSTv2DataModule(**base)
+    variants = [
+        ("test", OISSTv2DataModule(**base, prediction_horizon=5)),
+        ("train", OISSTv2DataModule(**{**base, "window": 2})),
+        ("val", OISSTv2DataModule(**base, validation_boxes=[84])),
+    ]
+    for split, other in variants:
+        assert dm._numpy_cache_file(split) != other._numpy_cache_file(split), split
+    # identical configs share the cache file
+    same = OISSTv2DataModule(**base)
+    for split in ("train", "val", "test"):
+        assert dm._numpy_cache_file(split) == same._numpy_cache_file(split)

@@ -143,3 +143,19 @@ def test_spring_mesh_end_to_end_interpolation_slice(spring_root):
     assert not np.allclose(np.asarray(leaf), 0.0)
     out = jax.jit(eval_fns["val"])(state.eval_variables(), batch, jax.random.key(0))
     assert out["t1_preds"].shape[0] == 2  # ensemble members
+
+
+def test_build_split_clear_error_when_condition_missing(spring_root, monkeypatch):
+    """An archive trajectory without 'extra_fixed_mask' must raise a clear
+    ValueError, not an obscure float(None) TypeError."""
+    dm = PhysicalSystemsDataModule(data_dir=spring_root, physical_system="spring-mesh", horizon=4)
+    orig_get = TrajectoryReader.get
+
+    def get_no_condition(self, idx):
+        tr = orig_get(self, idx)
+        tr["condition"] = None
+        return tr
+
+    monkeypatch.setattr(TrajectoryReader, "get", get_no_condition)
+    with pytest.raises(ValueError, match="extra_fixed_mask"):
+        dm.setup("train")
