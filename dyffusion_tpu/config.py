@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import ast
 import copy
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 # ---------------------------------------------------------------------------
 # layers
@@ -279,34 +279,109 @@ def get_config(preset: Optional[str] = None, overrides: Optional[List[str]] = No
         cfg = deep_merge(cfg, _METHODS[method])
         cfg = deep_merge(cfg, _COMBO.get(preset, {}))
         cfg["preset"] = preset
+    extra_ok = set()
     for ov in overrides or []:
-        apply_override(cfg, ov)
-    return resolve(cfg)
+        key, was_plus = apply_override(cfg, ov)
+        if was_plus:
+            extra_ok.add(key)
+    return resolve(cfg, extra_ok=extra_ok)
 
 
-def apply_override(cfg: Dict[str, Any], override: str) -> None:
-    """Apply one 'a.b.c=value' override; values parsed as Python literals
-    when possible (hydra CLI semantics)."""
+def apply_override(cfg: Dict[str, Any], override: str) -> Tuple[str, bool]:
+    """Apply one 'a.b.c=value' override (hydra CLI semantics): values parse
+    as Python literals when possible; lowercase ``true``/``false``/``null``
+    parse as ``True``/``False``/``None``. A ``+`` prefix (``+a.b.c=value``)
+    marks the key as intentionally new, exempting it from
+    :func:`validate_config`'s unknown-key check. Returns (dotted key,
+    had_plus_prefix)."""
     key, _, raw = override.partition("=")
     if not _:
         raise ValueError(f"override '{override}' must look like key=value")
-    try:
-        value = ast.literal_eval(raw)
-    except (ValueError, SyntaxError):
-        value = None if raw in ("null", "None") else raw
+    key = key.strip()
+    allow_new = key.startswith("+")
+    if allow_new:
+        key = key[1:]
+    low = raw.strip().lower()
+    if low in ("true", "false"):
+        value = low == "true"
+    elif raw.strip() in ("null", "None"):
+        value = None
+    else:
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
     node = cfg
-    parts = key.strip().split(".")
+    parts = key.split(".")
     for p in parts[:-1]:
         if node.get(p) is None:
             node[p] = {}
         node = node[p]
     node[parts[-1]] = value
+    return key, allow_new
 
 
-def resolve(cfg: Dict[str, Any]) -> Dict[str, Any]:
+# The trainer/module namespaces are CLOSED consumer surfaces (every key is
+# read by name in interface.py / training/trainer.py / optim.py), unlike
+# datamodule/model/diffusion whose keys pass through to constructors and are
+# validated there. A typo'd key in a closed namespace would otherwise be
+# silently ignored (the reference's hydra struct mode rejects unknown keys).
+_TOP_LEVEL_KEYS = {
+    "seed", "registry_dir", "experiment", "preset", "datamodule", "model",
+    "diffusion", "module", "trainer", "debug", "run_id", "jax_debug_nans",
+    "matmul_precision", "torch_matmul_precision", "use_wandb",
+}
+_TRAINER_KEYS = {
+    "max_epochs", "max_steps", "val_every_n_epochs", "save_checkpoints",
+    "devices", "spatial_shards", "spatial_axis", "precision",
+    "gradient_clip_val", "accumulate_grad_batches",
+    "early_stopping_patience", "fold_accumulation_into_batch",
+    "log_every_n_steps", "watch_gradients",
+}
+# kept in sync with ExperimentConfig.__dataclass_fields__ by
+# tests/test_preset_parity.py::test_module_key_whitelist_matches_dataclass
+_MODULE_KEYS = {
+    "ema_decay", "enable_inference_dropout", "eval_dtype",
+    "fold_members_into_batch", "horizon", "loss_function", "monitor",
+    "num_predictions", "num_predictions_test", "optimizer",
+    "prediction_horizon", "prediction_inputs_noise", "scheduler",
+    "train_dtype", "use_ema", "window",
+}
+
+
+def validate_config(cfg: Dict[str, Any], extra_ok=()) -> None:
+    """Reject unknown keys in the closed namespaces (top level, trainer.*,
+    module.*) with a did-you-mean hint. ``extra_ok`` holds dotted keys added
+    deliberately via '+key=value' overrides."""
+    import difflib
+
+    extra_ok = set(extra_ok)
+
+    def _exempt(dotted: str) -> bool:
+        # '+a.b.c=...' exempts 'a.b.c' and every ancestor namespace it created
+        return any(e == dotted or e.startswith(dotted + ".") for e in extra_ok)
+
+    def check(prefix: str, keys, allowed) -> None:
+        for k in keys:
+            dotted = f"{prefix}{k}"
+            if k not in allowed and not _exempt(dotted):
+                hint = difflib.get_close_matches(k, allowed, n=1)
+                did = f" — did you mean '{prefix}{hint[0]}'?" if hint else ""
+                raise ValueError(
+                    f"unknown config key '{dotted}'{did} "
+                    f"(prefix the override with '+' to add a new key)"
+                )
+
+    check("", cfg.keys(), _TOP_LEVEL_KEYS)
+    check("trainer.", (cfg.get("trainer") or {}).keys(), _TRAINER_KEYS)
+    check("module.", (cfg.get("module") or {}).keys(), _MODULE_KEYS)
+
+
+def resolve(cfg: Dict[str, Any], extra_ok=()) -> Dict[str, Any]:
     """Resolve ``${a.b}`` interpolations and consistency rules
     (the semantics of the reference's OmegaConf interpolation +
     ``check_config_values``, ``config_utils.py:423-473``)."""
+    validate_config(cfg, extra_ok=extra_ok)
 
     def lookup(path: str):
         node: Any = cfg

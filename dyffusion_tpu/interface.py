@@ -157,14 +157,28 @@ def build_experiment(
         else None
     )
 
-    if kind == "interpolation":
-        exp = InterpolationExperiment(exp_cfg, dims)
-        spec = exp.backbone_spec(with_time_emb=True)
+    def _init_model(exp, with_time_emb: bool = True):
+        """Shared backbone wiring: spec -> build -> init -> apply fns.
+        Returns (model, variables, apply_fn, train_apply, has_batch_stats)."""
+        spec = exp.backbone_spec(with_time_emb=with_time_emb)
         model = build_backbone(config["model"], spec)
         variables = init_backbone(model, spec, rng)
         has_bs = any(k != "params" for k in variables)
-        apply_fn = make_apply_fn(model)
-        train_apply = make_train_apply_fn(model, has_bs)
+        return model, variables, make_apply_fn(model), make_train_apply_fn(model, has_bs), has_bs
+
+    def _forecast_eval_fns(make_eval):
+        """val/test/predict eval fns with autoregressive rollout when the
+        prediction horizon exceeds the train horizon."""
+        ar = bool(exp_cfg.prediction_horizon and exp_cfg.prediction_horizon > exp_cfg.horizon)
+        return {
+            "val": make_eval(split="val"),
+            "test": make_eval(split="test", autoregressive=ar),
+            "predict": make_eval(split="predict", autoregressive=ar),
+        }
+
+    if kind == "interpolation":
+        exp = InterpolationExperiment(exp_cfg, dims)
+        model, variables, apply_fn, train_apply, _ = _init_model(exp)
         exp.model = model
         loss_fn = exp.make_loss_fn(train_apply)
         eval_fns = {s: exp.make_eval_fn(apply_fn, s) for s in ("val", "test", "predict")}
@@ -174,23 +188,26 @@ def build_experiment(
         if interpolator is None:
             run_id = diff_cfg.get("interpolator_run_id")
             assert run_id, "diffusion.interpolator_run_id (or an in-memory interpolator) is required"
-            ip_apply, ip_vars, _ = load_interpolator_from_registry(
+            ip_apply, ip_vars, s1_config = load_interpolator_from_registry(
                 config.get("registry_dir", "runs"), run_id,
                 use_ema=diff_cfg.get("interpolator_use_ema", False),
             )
+            # the horizon the interpolator was TRAINED with (ref checks the
+            # loaded interpolator's own hparams, dyffusion.py:472-478) — not
+            # the stage-2 config's horizon, which would make the engine's
+            # mismatch guard vacuous
+            ip_horizon = int(s1_config["datamodule"]["horizon"])
         else:
             ip_apply, ip_vars = interpolator
+            ip_horizon = exp_cfg.horizon
 
         exp = DyffusionForecastingExperiment(
             exp_cfg, dims, boundary_fn=boundary_fn,
             forward_conditioning=diff_cfg.get("forward_conditioning", "data"),
         )
-        spec = exp.backbone_spec(with_time_emb=True)
-        model = build_backbone(config["model"], spec)
-        variables = init_backbone(model, spec, rng)
-        has_bs = any(k != "params" for k in variables)
-        fc_apply = make_apply_fn(model)
-        fc_train_apply = make_train_apply_fn(model, has_bs) if has_bs else None
+        model, variables, fc_apply, fc_train_apply, has_bs = _init_model(exp)
+        if not has_bs:
+            fc_train_apply = None  # the engine only needs it for BatchNorm stats
 
         dyff_fields = set(DyffusionConfig.__dataclass_fields__)
         eng_cfg = DyffusionConfig(
@@ -203,7 +220,7 @@ def build_experiment(
             eng_cfg,
             forecaster_apply=fc_apply,
             interpolator_apply=ip_apply,
-            interpolator_horizon=exp_cfg.horizon,
+            interpolator_horizon=ip_horizon,
             forecaster_train_apply=fc_train_apply,
             # ref composed configs pass loss_function ("l1" via
             # configs/diffusion/_base.yaml) to the DYffusion constructor
@@ -213,30 +230,17 @@ def build_experiment(
         exp.engine = engine
         exp.interpolator_params = ip_vars
         loss_fn = exp.make_loss_fn()
-        ar = bool(exp_cfg.prediction_horizon and exp_cfg.prediction_horizon > exp_cfg.horizon)
-        eval_fns = {
-            "val": exp.make_eval_fn(split="val"),
-            "test": exp.make_eval_fn(split="test", autoregressive=ar),
-            "predict": exp.make_eval_fn(split="predict", autoregressive=ar),
-        }
+        eval_fns = _forecast_eval_fns(exp.make_eval_fn)
         return exp, model, variables, loss_fn, eval_fns, engine
 
     if kind == "time_conditioned":
         exp = TimeConditionedForecastingExperiment(exp_cfg, dims, boundary_fn=boundary_fn)
-        spec = exp.backbone_spec(with_time_emb=True)
-        model = build_backbone(config["model"], spec)
-        variables = init_backbone(model, spec, rng)
-        has_bs = any(k != "params" for k in variables)
-        apply_fn = make_apply_fn(model)
-        train_apply = make_train_apply_fn(model, has_bs)
+        model, variables, apply_fn, train_apply, _ = _init_model(exp)
         exp.model = model
         loss_fn = exp.make_loss_fn(train_apply)
-        ar = bool(exp_cfg.prediction_horizon and exp_cfg.prediction_horizon > exp_cfg.horizon)
-        eval_fns = {
-            "val": exp.make_eval_fn(apply_fn, "val"),
-            "test": exp.make_eval_fn(apply_fn, "test", autoregressive=ar),
-            "predict": exp.make_eval_fn(apply_fn, "predict", autoregressive=ar),
-        }
+        eval_fns = _forecast_eval_fns(
+            lambda **kw: exp.make_eval_fn(apply_fn, **kw)
+        )
         return exp, model, variables, loss_fn, eval_fns, None
 
     if kind == "simultaneous":
@@ -246,12 +250,9 @@ def build_experiment(
             exp_cfg, dims, boundary_fn=boundary_fn, is_diffusion=is_diffusion
         )
         engine = None
-        spec = exp.backbone_spec(with_time_emb=is_diffusion or config["model"].get("with_time_emb", False))
-        model = build_backbone(config["model"], spec)
-        variables = init_backbone(model, spec, rng)
-        has_bs = any(k != "params" for k in variables)
-        apply_fn = make_apply_fn(model)
-        train_apply = make_train_apply_fn(model, has_bs)
+        model, variables, apply_fn, train_apply, _ = _init_model(
+            exp, with_time_emb=is_diffusion or config["model"].get("with_time_emb", False)
+        )
         if is_diffusion:
             H, W = dims["spatial"]
             sample_shape = (H, W, dims["output"] * exp_cfg.horizon)
@@ -296,12 +297,9 @@ def build_experiment(
             exp.diffusion_engine = engine
         exp.model = model
         loss_fn = exp.make_loss_fn(train_apply)
-        ar = bool(exp_cfg.prediction_horizon and exp_cfg.prediction_horizon > exp_cfg.horizon)
-        eval_fns = {
-            "val": exp.make_eval_fn(apply_fn, "val"),
-            "test": exp.make_eval_fn(apply_fn, "test", autoregressive=ar),
-            "predict": exp.make_eval_fn(apply_fn, "predict", autoregressive=ar),
-        }
+        eval_fns = _forecast_eval_fns(
+            lambda **kw: exp.make_eval_fn(apply_fn, **kw)
+        )
         return exp, model, variables, loss_fn, eval_fns, engine
 
     raise ValueError(f"Unknown experiment type: {kind}")

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -122,7 +123,23 @@ def build_optimizer(
 
     name = name.lower()
     if name == "adamw":
-        tx = optax.adamw(lr_schedule, b1=beta1, b2=beta2, eps=eps, weight_decay=weight_decay)
+        def _decay_mask(params):
+            # NCSNpp's GaussianFourierProjection W is a FIXED random-feature
+            # table (the reference stores it as a requires_grad=False buffer,
+            # mcvd layerspp.py); its gradient is stop_gradient'ed to zero but
+            # decoupled weight decay would still shrink it every step — mask
+            # it out of the decay term.
+            def keep(path, _):
+                return not any(
+                    getattr(k, "key", None) == "fourier_emb" for k in path
+                )
+
+            return jax.tree_util.tree_map_with_path(keep, params)
+
+        tx = optax.adamw(
+            lr_schedule, b1=beta1, b2=beta2, eps=eps,
+            weight_decay=weight_decay, mask=_decay_mask,
+        )
     elif name == "adam":
         tx = optax.adam(lr_schedule, b1=beta1, b2=beta2, eps=eps)
     elif name == "sgd":

@@ -363,6 +363,11 @@ class Trainer:
             # fold_factor micro-batches of data), so max_steps and resume
             # counters mean the same thing folded or not
             step_units = int(getattr(self.state, "fold_factor", 1) or 1)
+            if self.max_steps and step >= self.max_steps:
+                # a resumed run whose restored step already hit the cap must
+                # not train one extra batch per relaunch
+                done = True
+                break
             for batch in self.datamodule.train_loader(rng=self._np_rng, device_put=self._put):
                 self.state, metrics = self.train_step(self.state, batch)
                 loss_parts.append(metrics["loss"])

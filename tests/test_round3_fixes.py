@@ -217,3 +217,89 @@ def test_tpu_pod_env_triggers_auto_init(monkeypatch):
     monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b")
     init_distributed()
     assert calls == [1]  # pod: auto-init reached
+
+
+# ---- fourth review pass (config/interface/models/training) ----------------
+
+
+def test_override_lowercase_booleans_parse():
+    """'=false' must become False, not the truthy string 'false' (README
+    documents the lowercase hydra spelling)."""
+    cfg = get_config("synthetic_interpolation", ["debug=false", "module.use_ema=false"])
+    assert cfg["debug"] is False and cfg["module"]["use_ema"] is False
+    cfg = get_config("synthetic_interpolation", ["debug=true", "module.use_ema=True"])
+    assert cfg["debug"] is True and cfg["module"]["use_ema"] is True
+    assert get_config("synthetic_interpolation", ["module.scheduler=null"])["module"]["scheduler"] is None
+
+
+def test_override_unknown_closed_namespace_keys_rejected():
+    """Typos in the closed namespaces (top level / trainer.* / module.*)
+    raise with a did-you-mean hint; '+key=value' adds new keys."""
+    for bad in ("trainer.max_epoch=3", "module.use_emaa=true", "registryy_dir=/tmp/x"):
+        with pytest.raises(ValueError, match="unknown config key"):
+            get_config("synthetic_interpolation", [bad])
+    cfg = get_config("synthetic_interpolation", ["+trainer.my_flag=2", "+custom.key=1"])
+    assert cfg["trainer"]["my_flag"] == 2 and cfg["custom"]["key"] == 1
+    # open namespaces (constructor kwargs) are untouched
+    get_config("synthetic_interpolation", ["datamodule.n_traj=4"])
+
+
+def test_module_key_whitelist_matches_dataclass():
+    from dyffusion_tpu.config import _MODULE_KEYS
+    from dyffusion_tpu.experiments.base import ExperimentConfig
+
+    assert _MODULE_KEYS == set(ExperimentConfig.__dataclass_fields__)
+
+
+def test_adamw_weight_decay_skips_fourier_features():
+    """GaussianFourierProjection W is a fixed buffer in the reference;
+    decoupled weight decay must not shrink it (grads are stop_gradient'ed
+    to zero, but adamw's decay term is grad-independent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dyffusion_tpu.training.optim import build_optimizer
+
+    tx = build_optimizer("adamw", lr=0.1, weight_decay=0.5)
+    params = {"m": {"fourier_emb": {"W": jnp.ones(3)}, "kernel": jnp.ones(3)}}
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    upd, _ = tx.update(grads, state, params)
+    np.testing.assert_array_equal(np.asarray(upd["m"]["fourier_emb"]["W"]), 0.0)
+    assert float(np.abs(np.asarray(upd["m"]["kernel"])).sum()) > 0.0
+
+
+def test_stage2_rejects_interpolator_trained_at_other_horizon(tmp_path):
+    """The engine's horizon guard must compare against the horizon the
+    stage-1 interpolator was TRAINED with (from its persisted config), not
+    the stage-2 config's own horizon (ref dyffusion.py:472-478)."""
+    reg = str(tmp_path / "reg")
+    cfg1 = get_config("synthetic_interpolation", TINY + [f"registry_dir={reg}"])
+    trainer1, _ = run_experiment(cfg1)
+    run1 = os.path.basename(trainer1.ckpt.run_dir)
+
+    overrides = [o for o in TINY if not o.startswith("datamodule.horizon")]
+    cfg2 = get_config(
+        "synthetic_dyffusion",
+        overrides + [
+            "datamodule.horizon=5",  # != the stage-1 horizon 3
+            f"registry_dir={reg}",
+            f"diffusion.interpolator_run_id={run1}",
+        ],
+    )
+    with pytest.raises(ValueError, match="interpolator horizon"):
+        run_experiment(cfg2)
+
+
+def test_resumed_run_at_max_steps_does_not_overshoot(tmp_path):
+    """Relaunching a run whose checkpoint already sits at max_steps must not
+    train an extra batch and creep the step counter."""
+    reg = str(tmp_path / "reg")
+    ov = TINY + [f"registry_dir={reg}", "trainer.max_steps=3", "trainer.max_epochs=50"]
+    cfg = get_config("synthetic_interpolation", ov)
+    trainer1, _ = run_experiment(cfg)
+    step1 = int(trainer1.state.step)
+    assert step1 >= 3
+    cfg2 = get_config("synthetic_interpolation", ov)
+    trainer2, _ = run_experiment(cfg2)
+    assert int(trainer2.state.step) == step1
