@@ -548,21 +548,18 @@ def run_experiment(
     return trainer, best
 
 
-def reload_and_test(
+def reload_trainer(
     registry_dir: str,
     run_id: str,
     overrides: Optional[list] = None,
     slot: str = "best",
-    return_trainer: bool = False,
-):
-    """Test-mode: reload a finished run's config + best checkpoint and run
-    test evaluation with the test-size ensemble (ref ``train.py:44-67,
-    104-109`` + ``configs/mode/test.yaml``: best ckpt, num_predictions=50;
-    CLI overrides are merged over the stored config the way the reference
-    merges CLI args over the cloud-reloaded hydra config). Builds the same
-    device mesh as training (``trainer.devices``) so the heaviest eval — the
-    50-member test ensemble — shards over the slice too (VERDICT r2
-    missing #2)."""
+) -> Trainer:
+    """Reload a finished run's config + checkpoint into a ready Trainer
+    (the shared first half of test-mode and serving export): stored config
+    with CLI overrides merged over it the way the reference merges CLI args
+    over the cloud-reloaded hydra config (ref ``train.py:44-67``), the same
+    device mesh as training (``trainer.devices``), and the requested
+    checkpoint slot restored (falling back to ``last``)."""
     from dyffusion_tpu.config import apply_override
     from dyffusion_tpu.parallel.distributed import init_distributed
 
@@ -591,5 +588,24 @@ def reload_and_test(
     )
     if not trainer.maybe_resume(slot=slot) and not trainer.maybe_resume(slot="last"):
         raise FileNotFoundError(f"no checkpoint in {run_dir}")
+    return trainer
+
+
+def reload_and_test(
+    registry_dir: str,
+    run_id: str,
+    overrides: Optional[list] = None,
+    slot: str = "best",
+    return_trainer: bool = False,
+):
+    """Test-mode: reload a finished run's config + best checkpoint and run
+    test evaluation with the test-size ensemble (ref ``train.py:44-67,
+    104-109`` + ``configs/mode/test.yaml``: best ckpt, num_predictions=50;
+    CLI overrides are merged over the stored config the way the reference
+    merges CLI args over the cloud-reloaded hydra config). Builds the same
+    device mesh as training (``trainer.devices``) so the heaviest eval — the
+    50-member test ensemble — shards over the slice too (VERDICT r2
+    missing #2)."""
+    trainer = reload_trainer(registry_dir, run_id, overrides, slot=slot)
     metrics = trainer.test()
     return (metrics, trainer) if return_trainer else metrics
