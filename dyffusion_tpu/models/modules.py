@@ -113,6 +113,15 @@ class LinearAttention(nn.Module):
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = self.rescale == "qkv" and jax.default_backend() != "cpu"
+        if use_pallas:
+            # serving.export_run traces multi-platform / shape-polymorphic
+            # artifacts under force_xla_path(): Pallas is TPU-only and its
+            # grid needs static shapes, so the XLA path must win there even
+            # over an explicit use_pallas=True
+            from dyffusion_tpu.ops.pallas_attention import xla_only_forced
+
+            if xla_only_forced():
+                use_pallas = False
         if use_pallas and self.rescale == "qkv":
             from dyffusion_tpu.ops.pallas_attention import linear_attention_qkv
 

@@ -24,7 +24,9 @@ itself; this one is kept as validated infrastructure for larger grids).
 """
 from __future__ import annotations
 
+import contextlib
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +34,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 Array = jnp.ndarray
+
+# trace-time override used by serving.export_run: multi-platform and
+# shape-polymorphic artifacts must not contain TPU-only Pallas calls (the
+# CPU lowering would fail / polymorphic grids are unsupported), so tracing
+# under force_xla_path() routes every auto-gated kernel to its XLA fallback
+# (the reference's analogue: CPU fallbacks for its CUDA ops,
+# ref ``op/upfirdn2d.py:16-17``).
+_XLA_ONLY = threading.local()
+
+
+def xla_only_forced() -> bool:
+    """True while tracing inside :func:`force_xla_path`."""
+    return getattr(_XLA_ONLY, "on", False)
+
+
+@contextlib.contextmanager
+def force_xla_path():
+    """Context manager: disable TPU-only Pallas kernels for code traced
+    inside (numerically equivalent XLA paths take over)."""
+    prev = getattr(_XLA_ONLY, "on", False)
+    _XLA_ONLY.on = True
+    try:
+        yield
+    finally:
+        _XLA_ONLY.on = prev
 
 
 def _core_reference(q: Array, k: Array, v: Array, scale: float, n_tokens: int) -> Array:

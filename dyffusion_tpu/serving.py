@@ -10,19 +10,39 @@ jitted product predict path (the SAME folded-ensemble/bf16 sampler
 StableHLO artifact with the trained weights embedded as constants. The
 artifact is loadable with :func:`load_exported` (or plain
 ``jax.export.deserialize``) in a process that imports nothing from this
-package — static shapes, one compile, no Python model code on the serving
-host.
+package — one compile, no Python model code on the serving host.
 
-Contract: ``predict(batch, seed) -> (N, B, T, H, W, C)`` float32 ensemble
-forecast, where ``batch`` is a dict of arrays (``dynamics`` = the
+Numerics contract: the serialize -> deserialize round trip is BIT-STABLE
+(same StableHLO bytes, same executable). Against the directly jitted
+in-framework predict path the artifact agrees to recompilation tolerance
+only (~1e-3 relative): serializing canonicalizes the StableHLO module, so
+XLA recompiles it with (validly) different fusion/reassociation decisions
+than the direct trace — identical math, different float associativity.
+
+Portability contract: the export is forced single-device (the reload
+overrides ``trainer.devices=1`` / ``trainer.spatial_shards=1``), so the
+embedded weights are unsharded and the artifact runs on any 1-device
+serving host; ``manifest.json`` records ``devices: 1``. By default the
+batch dimension is SYMBOLIC (``jax.export.symbolic_shape``): one artifact
+serves any batch size >= 1 (TPU-only Pallas kernels are swapped for their
+XLA fallbacks at trace time, which polymorphic shapes require). Pass
+``polymorphic_batch=False`` to pin the batch and keep Pallas kernels in a
+single-platform TPU artifact.
+
+Input contract: ``predict(batch, seed) -> (N, B, T, H, W, C)`` float32
+ensemble forecast, where ``batch`` is a dict of arrays (``dynamics`` = the
 conditioning frames — ``window`` frames for forecasting runs,
 ``window + horizon`` for interpolation runs — plus the run's static
 ``condition`` / ``metadata_*`` arrays if its datamodule provides them) and
-``seed`` is a uint32 scalar seeding the MC-dropout/sampling noise. The
-sidecar ``manifest.json`` records the exact input/output specs.
+``seed`` is a uint32 scalar seeding the MC-dropout/sampling noise. For
+interpolation runs only the ``window`` prefix frames and the LAST frame are
+read (the in-between slots exist for shape compatibility with the training
+layout and may be zero-filled); ``manifest.json`` records the exact
+read set as ``dynamics_frames_read`` alongside the full input/output specs.
 """
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
@@ -36,15 +56,20 @@ _ARTIFACT = "sampler.jaxexport"
 _MANIFEST = "manifest.json"
 
 
-def _min_dynamics_frames(exp) -> int:
-    """Frames of ``batch['dynamics']`` the predict path consumes: the
-    conditioning window for forecasting; window + horizon for interpolation
-    (both endpoints are inputs, ``experiments/interpolation.py:get_inputs``)."""
+def _dynamics_frame_contract(exp) -> Tuple[int, list]:
+    """(frames, frames_read) of ``batch['dynamics']`` for the predict path:
+    forecasting consumes the conditioning window; interpolation needs
+    ``window + horizon`` frames for shape compatibility but READS only the
+    window prefix and the last frame (both interpolation endpoints are
+    inputs, ``experiments/interpolation.py:get_inputs``) — the in-between
+    slots are dead inputs a serving caller may zero-fill."""
     from dyffusion_tpu.experiments.interpolation import InterpolationExperiment
 
     if isinstance(exp, InterpolationExperiment):
-        return exp.cfg.window + exp.cfg.horizon
-    return exp.cfg.window
+        w, h = exp.cfg.window, exp.cfg.horizon
+        return w + h, list(range(w)) + [w + h - 1]
+    w = exp.cfg.window
+    return w, list(range(w))
 
 
 def _t_index(key: str) -> int:
@@ -58,35 +83,53 @@ def build_predict_fn(
     overrides: Optional[Sequence[str]] = None,
     slot: str = "best",
     split: str = "predict",
+    batch_size: Optional[int] = None,
 ) -> Tuple[Any, Dict[str, jax.ShapeDtypeStruct], Dict[str, Any]]:
     """Reload a finished run and close its eval path over the trained
     weights: returns ``(predict, input_specs, info)`` where
     ``predict(batch, seed_uint32)`` is a pure jittable function producing the
     (N, B, T, ...) ensemble forecast, ``input_specs`` is the batch spec pytree
-    (an example batch from the run's own predict split, dynamics truncated to
-    the conditioning frames), and ``info`` describes the run for the manifest.
+    (dtype/shape layout from the run's own ``split`` data, dynamics truncated
+    to the conditioning frames, leading dim = ``batch_size``), and ``info``
+    describes the run for the manifest.
+
+    The reload is forced single-device (``trainer.devices=1``): exported
+    weights must be unsharded constants so the artifact runs on any serving
+    host regardless of its device count.
 
     ``split`` picks the ensemble size (``predict``/``val`` =
-    ``module.num_predictions``, ``test`` = ``num_predictions_test``)."""
+    ``module.num_predictions``, ``test`` = ``num_predictions_test``);
+    ``batch_size`` defaults to the run's ``eval_batch_size``."""
     from dyffusion_tpu.interface import reload_trainer
 
-    trainer = reload_trainer(registry_dir, run_id, list(overrides or []), slot=slot)
+    trainer = reload_trainer(
+        registry_dir,
+        run_id,
+        list(overrides or []) + ["trainer.devices=1", "trainer.spatial_shards=1"],
+        slot=slot,
+    )
     exp = trainer.experiment
     eval_fn = trainer.eval_fns[split]
     variables = trainer._eval_vars()  # best-slot params (+EMA when enabled), pre-cast
 
-    # example batch from the run's own data layout, reduced to what serving
+    # input spec from the run's own data layout, reduced to what serving
     # actually feeds: conditioning dynamics + per-example statics
-    batches = trainer._eval_batches(split)
-    example = next(iter(batches))
-    frames = _min_dynamics_frames(exp)
-    example = {
-        k: np.asarray(v)[:, :frames] if k == "dynamics" else np.asarray(v)
-        for k, v in example.items()
-    }
-    input_specs = {
-        k: jax.ShapeDtypeStruct(v.shape, v.dtype) for k, v in example.items()
-    }
+    example = next(iter(trainer._eval_batches(split)), None)
+    if example is None:
+        raise ValueError(
+            f"run {run_id}: split '{split}' is empty — cannot derive the "
+            "serving input spec (choose another split or add data)"
+        )
+    frames, frames_read = _dynamics_frame_contract(exp)
+    if batch_size is None:
+        batch_size = int(trainer.datamodule.eval_batch_size)
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    input_specs = {}
+    for k, v in example.items():
+        v = np.asarray(v)
+        tail = (frames,) + v.shape[2:] if k == "dynamics" else v.shape[1:]
+        input_specs[k] = jax.ShapeDtypeStruct((batch_size,) + tail, v.dtype)
 
     def predict(batch: Dict[str, jax.Array], seed: jax.Array) -> jax.Array:
         out = eval_fn(variables, batch, jax.random.key(seed))
@@ -100,6 +143,9 @@ def build_predict_fn(
         "experiment": type(exp).__name__,
         "ensemble_members": int(n_members),
         "dynamics_frames": int(frames),
+        "dynamics_frames_read": [int(i) for i in frames_read],
+        "devices": 1,
+        "batch_size": int(batch_size),
     }
     return predict, input_specs, info
 
@@ -112,36 +158,69 @@ def export_run(
     slot: str = "best",
     split: str = "predict",
     platforms: Optional[Sequence[str]] = None,
+    batch_size: Optional[int] = None,
+    polymorphic_batch: bool = True,
 ) -> str:
     """Export ``run_id``'s trained sampler to ``out_dir`` as a serialized
     ``jax.export`` artifact (weights embedded) + ``manifest.json``.
 
     ``platforms=None`` lowers for the current backend; pass e.g.
-    ``("tpu",)`` on a TPU host to pin, or multiple for a multi-platform
-    artifact (note: TPU-only custom kernels preclude adding "cpu" to a TPU
-    export). Returns the artifact path."""
+    ``("cpu", "tpu")`` for a multi-platform artifact (TPU-only Pallas
+    kernels are swapped for their XLA fallbacks at trace time).
+
+    ``polymorphic_batch=True`` (default) exports a SYMBOLIC batch dimension
+    — one artifact serves any batch size — which also requires the XLA
+    kernel paths. ``polymorphic_batch=False`` pins the batch to
+    ``batch_size`` (default: the run's eval_batch_size) and keeps Pallas
+    kernels when exporting for TPU only. Returns the artifact path."""
     predict, input_specs, info = build_predict_fn(
-        registry_dir, run_id, overrides, slot=slot, split=split
+        registry_dir, run_id, overrides, slot=slot, split=split, batch_size=batch_size
     )
     seed_spec = jax.ShapeDtypeStruct((), jnp.uint32)
     kwargs = {"platforms": list(platforms)} if platforms else {}
-    exported = jax.export.export(jax.jit(predict), **kwargs)(input_specs, seed_spec)
+
+    multi_platform = platforms is not None and len(set(platforms)) > 1
+    cross_platform = platforms is not None and set(platforms) != {jax.default_backend()}
+    need_xla_paths = polymorphic_batch or multi_platform or cross_platform
+    if polymorphic_batch:
+        (b,) = jax.export.symbolic_shape("b")
+        export_specs = {
+            k: jax.ShapeDtypeStruct((b,) + s.shape[1:], s.dtype)
+            for k, s in input_specs.items()
+        }
+    else:
+        export_specs = input_specs
+
+    if need_xla_paths:
+        from dyffusion_tpu.ops.pallas_attention import force_xla_path
+
+        ctx = force_xla_path()
+    else:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        exported = jax.export.export(jax.jit(predict), **kwargs)(export_specs, seed_spec)
 
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, _ARTIFACT)
     with open(path, "wb") as f:
         f.write(exported.serialize())
+
+    def _dims(shape) -> list:
+        return [int(d) if isinstance(d, int) else str(d) for d in shape]
+
     out_aval = exported.out_avals[0]
     manifest = {
         **info,
         "platforms": list(exported.platforms),
+        "polymorphic_batch": bool(polymorphic_batch),
+        "attention_kernel": "xla" if need_xla_paths else "auto",
         "inputs": {
-            k: {"shape": list(s.shape), "dtype": str(np.dtype(s.dtype))}
-            for k, s in input_specs.items()
+            k: {"shape": _dims(s.shape), "dtype": str(np.dtype(s.dtype))}
+            for k, s in export_specs.items()
         },
         "seed": {"shape": [], "dtype": "uint32"},
         "output": {
-            "shape": list(out_aval.shape),
+            "shape": _dims(out_aval.shape),
             "dtype": str(out_aval.dtype),
             "axes": ["member", "batch", "time", "..."],
         },
@@ -169,24 +248,41 @@ def load_exported(out_dir: str):
 def _main(argv: Optional[Sequence[str]] = None) -> str:
     """CLI: ``python -m dyffusion_tpu.serving run_id=<id> out=<dir>
     [registry_dir=runs] [slot=best] [split=predict] [platforms=tpu,cpu]
-    [key.subkey=value ...]`` — export a trained run's sampler artifact."""
+    [batch_size=N] [polymorphic_batch=false] [key.subkey=value ...]`` —
+    export a trained run's sampler artifact."""
     import sys
 
-    args = dict(registry_dir="runs", slot="best", split="predict", platforms=None)
+    def usage(msg: str) -> "SystemExit":
+        return SystemExit(f"error: {msg}\n\n{_main.__doc__}")
+
+    args: Dict[str, Any] = dict(
+        registry_dir="runs", slot="best", split="predict", platforms=None,
+        batch_size=None, polymorphic_batch=True,
+    )
     overrides = []
     for arg in sys.argv[1:] if argv is None else argv:
-        k, _, v = arg.partition("=")
+        k, eq, v = arg.partition("=")
+        if not eq or not k:
+            raise usage(f"argument {arg!r} is not of the form key=value")
         if k in ("run_id", "out", "registry_dir", "slot", "split"):
             args[k] = v
         elif k == "platforms":
             args["platforms"] = v.split(",")
+        elif k == "batch_size":
+            args["batch_size"] = int(v)
+        elif k == "polymorphic_batch":
+            if v.lower() not in ("true", "false"):
+                raise usage(f"polymorphic_batch must be true or false, got {v!r}")
+            args["polymorphic_batch"] = v.lower() == "true"
         else:
             overrides.append(arg)
-    assert "run_id" in args and "out" in args, _main.__doc__
+    if "run_id" not in args or "out" not in args:
+        raise usage("run_id=<id> and out=<dir> are required")
     path = export_run(
         args["registry_dir"], args["run_id"], args.pop("out"),
         overrides=overrides, slot=args["slot"], split=args["split"],
-        platforms=args["platforms"],
+        platforms=args["platforms"], batch_size=args["batch_size"],
+        polymorphic_batch=args["polymorphic_batch"],
     )
     print(path)
     return path

@@ -9,6 +9,18 @@ Any ``key.subkey=value`` override is accepted; ``experiment=<preset>`` picks a
 dataset-x-method preset (see ``dyffusion_tpu.config.list_presets``). Prints
 the metric history and returns the best monitored score (ref
 ``run_model -> float``, ``src/train.py:18``).
+
+Sweeps (the analogue of Hydra multirun, ref ``run.py:9`` ``python run.py -m
+param=a,b,c``): pass ``-m``/``--multirun`` and comma-separate the values to
+sweep — every comma-valued override expands cartesian-product style and the
+runs execute sequentially, each under its own deterministic run id:
+
+    python -m dyffusion_tpu.train -m experiment=synthetic_interpolation \
+        module.optimizer.lr=1e-4,3e-4 model.dim=32,64
+
+Commas INSIDE brackets stay literal (``model.dim_mults=(1,2)`` is one value).
+Analyze sweep results with ``dyffusion_tpu.utils.registry_api`` (the local
+analogue of the reference's ``wandb_api.get_runs_df``).
 """
 from __future__ import annotations
 
@@ -20,8 +32,71 @@ from dyffusion_tpu.config import get_config, list_presets
 from dyffusion_tpu.interface import run_experiment
 
 
+def _split_sweep_values(value: str) -> List[str]:
+    """Split on top-level commas only: ``1e-4,3e-4`` sweeps, but bracketed
+    tuples/lists like ``(1,2)`` or ``[60,60]`` stay ONE value (the same
+    disambiguation Hydra's sweeper applies)."""
+    parts, depth, cur = [], 0, ""
+    for ch in value:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    parts.append(cur)
+    return parts
+
+
+def expand_multirun(args: List[str]) -> List[List[str]]:
+    """Cartesian expansion of comma-valued ``key=value`` args (Hydra ``-m``
+    semantics, ref ``run.py:9``): returns one arg-list per run, in
+    lexicographic sweep order."""
+    import itertools
+
+    fixed: List[str] = []
+    sweep_keys: List[str] = []
+    sweep_vals: List[List[str]] = []
+    positions: List[int] = []  # keep each swept arg at its original slot
+    for i, arg in enumerate(args):
+        k, eq, v = arg.partition("=")
+        vals = _split_sweep_values(v) if eq else [v]
+        if len(vals) > 1:
+            sweep_keys.append(k)
+            sweep_vals.append(vals)
+            positions.append(i)
+        else:
+            fixed.append(arg)
+    if not sweep_keys:
+        return [args]
+    combos = []
+    for combo in itertools.product(*sweep_vals):
+        run_args = list(args)
+        for pos, k, v in zip(positions, sweep_keys, combo):
+            run_args[pos] = f"{k}={v}"
+        combos.append(run_args)
+    return combos
+
+
 def main(argv: Optional[List[str]] = None) -> float:
     argv = list(sys.argv[1:] if argv is None else argv)
+    if "-m" in argv or "--multirun" in argv:
+        argv = [a for a in argv if a not in ("-m", "--multirun")]
+        combos = expand_multirun(argv)
+        if len(combos) > 1:
+            results = []
+            for i, run_args in enumerate(combos):
+                print(f"[multirun {i + 1}/{len(combos)}] {' '.join(run_args)}")
+                results.append({"args": run_args, "best": main(run_args)})
+            finite = [r for r in results if r["best"] == r["best"]]
+            # all preset monitors minimize (crps / mse)
+            best = min((r["best"] for r in finite), default=float("nan"))
+            print(json.dumps({"multirun": len(combos), "best": best,
+                              "results": results}))
+            return best
     preset, mode, run_id, registry = None, "train", None, "runs"
     overrides = []
     for arg in argv:

@@ -50,6 +50,65 @@ def sst_overrides(extra: Optional[Sequence[str]] = None) -> List[str]:
     return list(SST_CORE) + list(extra or ())
 
 
+# The Navier-Stokes workload's model + physics (reference
+# ``configs/experiment/navier_stokes.yaml:12-16`` + ``model/
+# unet_simple_navier_stokes.yaml``): 221x42 grid, C=3 + 2 static condition
+# channels, horizon 16, UNetSimple dim 64 with the 256x256 internal bilinear
+# resample, train batch 32 x accumulate 2, stage-2 with refine on and
+# ``forward_conditioning=none`` (``navier_stokes_dyffusion.yaml:16``).
+NS_CORE: Tuple[str, ...] = (
+    "datamodule.spatial=(221,42)",
+    "datamodule.channels=3",
+    "datamodule.conditional_channels=2",
+    "datamodule.horizon=16",
+    "model.name=unet_simple",
+    "model.dim=64",
+    "model.outer_sample_mode=bilinear",
+    "model.upsample_dims=(256,256)",
+    "model.dropout=0.15",
+    "module.num_predictions=20",
+    "diffusion.refine_intermediate_predictions=True",
+    "diffusion.forward_conditioning=none",
+)
+
+NS_TRAIN: Tuple[str, ...] = (
+    "datamodule.batch_size=32",  # ref navier_stokes.yaml:13
+    "trainer.accumulate_grad_batches=2",  # ref navier_stokes.yaml:29
+)
+
+
+def ns_overrides(extra: Optional[Sequence[str]] = None) -> List[str]:
+    """The canonical Navier-Stokes workload (see :data:`NS_CORE`)."""
+    return list(NS_CORE) + list(extra or ())
+
+
+# The spring-mesh workload (reference ``configs/experiment/spring_mesh.yaml
+# :12-17`` + ``model/cnn_simple.yaml``): 10x10 grid, C=4 + 1 condition
+# channel, horizon 134, SimpleConvNet dim 64 with BatchNorm, train batch 64.
+SPRING_CORE: Tuple[str, ...] = (
+    "datamodule.spatial=(10,10)",
+    "datamodule.channels=4",
+    "datamodule.conditional_channels=1",
+    "datamodule.horizon=134",
+    "model.name=cnn_simple",
+    "model.dim=64",
+    "model.net_normalization=batch_norm",
+    "model.dropout=0.2",
+    "module.num_predictions=20",
+    "diffusion.refine_intermediate_predictions=True",
+)
+
+SPRING_TRAIN: Tuple[str, ...] = (
+    "datamodule.batch_size=64",  # ref spring_mesh.yaml:13
+    "trainer.accumulate_grad_batches=1",  # ref spring_mesh.yaml:28
+)
+
+
+def spring_overrides(extra: Optional[Sequence[str]] = None) -> List[str]:
+    """The canonical spring-mesh workload (see :data:`SPRING_CORE`)."""
+    return list(SPRING_CORE) + list(extra or ())
+
+
 def time_train_steps(step_fn, state, batch, steps: int = 20) -> float:
     """Seconds per train step for a jitted ``(state, batch) -> (state,
     metrics)`` step, averaged over ``steps`` after a warmup/compile call.

@@ -35,14 +35,36 @@ jax.config.update(
 
 V5E_PEAK_F32 = 98.3e12
 
-from dyffusion_tpu.utils.workloads import sst_overrides, time_train_steps  # noqa: E402
+from dyffusion_tpu.utils.workloads import (  # noqa: E402
+    ns_overrides,
+    spring_overrides,
+    sst_overrides,
+    time_train_steps,
+)
 
-# enough train rows for the folded 256-row batch (train split >= 256 windows)
-SST = sst_overrides([
-    "datamodule.n_traj=32",
-    "datamodule.n_time=20",
-    "trainer.save_checkpoints=False",
-])
+# enough train rows for the folded effective batch (train split >= eff rows)
+WORKLOADS = {
+    "sst": sst_overrides([  # ref oisst recipe: B64 x acc 4 (eff 256)
+        "datamodule.n_traj=32",
+        "datamodule.n_time=20",
+        "trainer.save_checkpoints=False",
+    ]),
+    "ns": ns_overrides([  # ref NS recipe: B32 x acc 2 (eff 64)
+        "datamodule.n_traj=8",
+        "datamodule.n_time=33",  # train: 4 traj x 17 windows = 68 >= 64
+        "trainer.save_checkpoints=False",
+    ]),
+    "spring": spring_overrides([  # ref spring recipe: B64 x acc 1 (no fold)
+        "datamodule.n_traj=16",
+        "datamodule.n_time=150",  # train: 9 traj x 16 windows = 144 >= 128
+        "trainer.save_checkpoints=False",
+    ]),
+}
+DEFAULTS = {  # (eff_batch, acc) per the reference recipe
+    "sst": (256, 4),
+    "ns": (64, 2),
+    "spring": (128, 2),  # acc 1 in the recipe -> probe a hypothetical 2-fold
+}
 
 
 def _build(preset, overrides, batch_size, accumulate, interpolator=None):
@@ -109,8 +131,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--stage", choices=["1", "2", "all"], default="all")
-    ap.add_argument("--eff-batch", type=int, default=256, help="effective batch (ref: 64 x acc 4)")
-    ap.add_argument("--acc", type=int, default=4)
+    ap.add_argument("--workload", choices=sorted(WORKLOADS), default="sst")
+    ap.add_argument("--eff-batch", type=int, default=None,
+                    help="effective batch (default: the workload's reference recipe)")
+    ap.add_argument("--acc", type=int, default=None)
     ap.add_argument(
         "--corner",
         choices=["accumulated", "folded", "folded_remat", "accumulated_remat"],
@@ -118,6 +142,12 @@ def main():
         help="run ONE corner (fresh process => no HBM carry-over between corners)",
     )
     args = ap.parse_args()
+    SST = WORKLOADS[args.workload]
+    eff_default, acc_default = DEFAULTS[args.workload]
+    if args.eff_batch is None:
+        args.eff_batch = eff_default
+    if args.acc is None:
+        args.acc = acc_default
 
     from dyffusion_tpu.models import make_apply_fn
 
@@ -151,7 +181,8 @@ def main():
                 results[key] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
             print(key, json.dumps(results[key]))
 
-    print(json.dumps({"fold_remat_bench": results, "backend": jax.default_backend()}))
+    print(json.dumps({"fold_remat_bench": results, "workload": args.workload,
+                      "backend": jax.default_backend()}))
 
 
 if __name__ == "__main__":

@@ -28,16 +28,37 @@ jax.config.update(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
 )
 
-from dyffusion_tpu.utils.workloads import SST_FAST_EVAL, sst_overrides  # noqa: E402
+from dyffusion_tpu.utils.workloads import (  # noqa: E402
+    SST_FAST_EVAL,
+    ns_overrides,
+    sst_overrides,
+)
 
-SST = sst_overrides([
-    "datamodule.n_traj=24",
-    "datamodule.n_time=60",
-    "datamodule.batch_size=64",
-    "datamodule.eval_batch_size=6",
-    "module.num_predictions_test=20",
-    *SST_FAST_EVAL,
-])
+WORKLOADS = {
+    "sst": sst_overrides([
+        "datamodule.n_traj=24",
+        "datamodule.n_time=60",
+        "datamodule.batch_size=64",
+        "datamodule.eval_batch_size=6",
+        "module.num_predictions_test=20",
+        *SST_FAST_EVAL,
+    ]),
+    # The NS workload where the SST-toy frontier ordering is expected to
+    # invert (refine ON, forward_conditioning="none", big grid with the
+    # 256x256 internal resample). The reference NS recipe uses k=0 (no
+    # auxiliary steps — the DSL has nothing to skip), so the frontier is run
+    # at k=8 (the acceleration configuration a user would actually enable
+    # the DSL for), plus a k=0 reference row via --schedules.
+    "ns": ns_overrides([
+        "datamodule.n_traj=12",
+        "datamodule.n_time=48",  # train: 7 traj x 32 windows = 224 examples
+        "datamodule.batch_size=32",
+        "datamodule.eval_batch_size=2",
+        "module.num_predictions_test=20",
+        "diffusion.additional_interpolation_steps=8",
+        *SST_FAST_EVAL,
+    ]),
+}
 
 # (schedule, sampling_type) points on the speed/quality frontier. 'naive'
 # (ref sampling_type, dyffusion.py:335-426) costs ONE interpolator call per
@@ -56,13 +77,19 @@ POINTS = [
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=8)
-    ap.add_argument("--registry", default="/tmp/sched_quality_registry")
+    ap.add_argument("--workload", choices=sorted(WORKLOADS), default="sst")
+    ap.add_argument("--registry", default=None)
     ap.add_argument("--schedules", nargs="*", default=None)
+    ap.add_argument("--extra", nargs="*", default=[],
+                    help="extra key=value overrides appended to the workload")
     args = ap.parse_args()
 
     from dyffusion_tpu.config import get_config
     from dyffusion_tpu.interface import reload_and_test, run_experiment
 
+    if args.registry is None:
+        args.registry = f"/tmp/sched_quality_registry_{args.workload}"
+    SST = WORKLOADS[args.workload] + list(args.extra)
     common = SST + [
         f"registry_dir={args.registry}",
         f"trainer.max_epochs={args.epochs}",

@@ -38,14 +38,39 @@ jax.config.update(
 V5E_PEAK_BF16 = 197e12
 V5E_PEAK_F32 = 98.3e12
 
-from dyffusion_tpu.utils.workloads import sst_overrides, time_train_steps  # noqa: E402
+from dyffusion_tpu.utils.workloads import (  # noqa: E402
+    ns_overrides,
+    spring_overrides,
+    sst_overrides,
+    time_train_steps,
+)
 
-SST = sst_overrides([
-    "datamodule.n_traj=16",
-    "datamodule.n_time=20",  # train split: 9 traj x 13 windows >= batch 64
-    "datamodule.batch_size=64",  # ref oisst_pacific.yaml train batch
-    "trainer.save_checkpoints=False",
-])
+# Per-workload overrides at the REFERENCE train recipes (PERF.md train
+# matrix): synthetic data sized so the train split holds >= one batch.
+WORKLOADS = {
+    "sst": sst_overrides([
+        "datamodule.n_traj=16",
+        "datamodule.n_time=20",  # train split: 9 traj x 13 windows >= batch 64
+        "datamodule.batch_size=64",  # ref oisst_pacific.yaml train batch
+        "trainer.save_checkpoints=False",
+    ]),
+    # ref navier_stokes.yaml: B=32 x accumulate 2 (the accumulation layout is
+    # benched separately in bench_fold_remat.py; here one micro-batch step)
+    "ns": ns_overrides([
+        "datamodule.n_traj=5",
+        "datamodule.n_time=30",  # train split: 3 traj x 14 windows >= batch 32
+        "datamodule.batch_size=32",
+        "trainer.save_checkpoints=False",
+    ]),
+    # ref spring_mesh.yaml: B=64, horizon 134 (windows need 135 frames)
+    "spring": spring_overrides([
+        "datamodule.n_traj=16",
+        "datamodule.n_time=142",  # train split: 9 traj x 8 windows >= batch 64
+        "datamodule.batch_size=64",
+        "trainer.save_checkpoints=False",
+    ]),
+}
+DEFAULT_BATCH = {"sst": 64, "ns": 32, "spring": 64}
 
 
 def _build(preset, overrides, interpolator=None):
@@ -90,11 +115,16 @@ def bench_step(loss_fn, state, batch, steps: int, peak: float):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=30)
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="train batch (default: the workload's reference recipe)")
+    ap.add_argument("--workload", choices=sorted(WORKLOADS), default="sst")
     ap.add_argument(
         "--stage", choices=["1", "2", "2bf16", "1full", "2full", "all"], default="all"
     )
     args = ap.parse_args()
+    if args.batch is None:
+        args.batch = DEFAULT_BATCH[args.workload]
+    SST = WORKLOADS[args.workload]
 
     from dyffusion_tpu.models import make_apply_fn
 
@@ -152,7 +182,8 @@ def main():
         )
         print("stage2 full-bf16:", json.dumps(results["stage2_full_bf16"]))
 
-    print(json.dumps({"train_bench": results, "backend": jax.default_backend()}))
+    print(json.dumps({"train_bench": results, "workload": args.workload,
+                      "batch": args.batch, "backend": jax.default_backend()}))
 
 
 if __name__ == "__main__":

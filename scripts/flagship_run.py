@@ -50,6 +50,12 @@ def main():
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--registry", default=os.path.join(REPO, "runs_flagship"))
     ap.add_argument("--out", default=os.path.join(REPO, "docs", "FLAGSHIP_RUN.md"))
+    ap.add_argument("--extra", nargs="*", default=[],
+                    help="extra key=value overrides for BOTH stages (e.g. the "
+                         "calibrated operating point from calibrate_ensemble.py)")
+    ap.add_argument("--test-extra", nargs="*", default=[],
+                    help="extra overrides for the mode=test reload only "
+                         "(e.g. diffusion.sampling_type=naive)")
     args = ap.parse_args()
 
     from dyffusion_tpu.config import get_config
@@ -60,7 +66,7 @@ def main():
         f"registry_dir={args.registry}",
         f"trainer.max_epochs={args.epochs}",
         f"trainer.val_every_n_epochs={max(args.epochs // 5, 1)}",
-    ]
+    ] + list(args.extra)
 
     wall = {}
     t0 = time.time()
@@ -90,7 +96,9 @@ def main():
     print(json.dumps({"stage": 2, "best_crps": best2, "run": run2}))
 
     t2 = time.time()
-    test_metrics, trainer_t = reload_and_test(args.registry, run2, return_trainer=True)
+    test_metrics, trainer_t = reload_and_test(
+        args.registry, run2, overrides=list(args.test_extra), return_trainer=True
+    )
     wall["test_50member_s"] = round(time.time() - t2, 1)
     print(json.dumps({"stage": "test", **{k: round(v, 5) for k, v in test_metrics.items()}}))
 
@@ -104,7 +112,11 @@ def main():
         "interpolation training, best-CRPS registry checkpoint, stage-2 "
         "DYffusion training with the frozen-interpolator handoff, then "
         "`mode=test` with the 50-member ensemble. Re-run with:\n\n"
-        f"```bash\npython scripts/flagship_run.py --epochs {args.epochs}\n```\n"
+        "```bash\npython scripts/flagship_run.py --epochs "
+        f"{args.epochs}"
+        + (" --extra " + " ".join(args.extra) if args.extra else "")
+        + (" --test-extra " + " ".join(args.test_extra) if args.test_extra else "")
+        + "\n```\n"
     )
     md.append(f"- date: {time.strftime('%Y-%m-%d %H:%M')}  ")
     md.append(f"- backend: {jax.default_backend()} ({jax.devices()[0].device_kind})  ")
