@@ -203,7 +203,10 @@ def bilinear_upsample_conv_2d(x: Array, w: Array, padding: int) -> Array:
     w_eff = jnp.zeros((kh + 3, kw + 3) + w.shape[2:], w.dtype)
     for a in range(4):
         for b in range(4):
-            w_eff = w_eff.at[a : a + kh, b : b + kw].add(K[a, b] * w)
+            # float(): a numpy scalar would promote bf16 w to f32, making the
+            # scatter-add into the bf16 w_eff an unsafe cast (FutureWarning,
+            # an error in future jax); a Python float stays weakly typed
+            w_eff = w_eff.at[a : a + kh, b : b + kw].add(float(K[a, b]) * w)
     e = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
     out = jax.lax.conv_general_dilated(
         e, w_eff, (1, 1), padding=((padding, padding), (padding, padding)),

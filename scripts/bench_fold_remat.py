@@ -163,7 +163,12 @@ def main():
     ip = None
     if args.stage in ("2", "all"):
         ip_model, _, ip_state, _ = _build("synthetic_interpolation", SST, micro, 1)
-        ip = (make_apply_fn(ip_model), {"params": ip_state.params})
+        # full variables tree: BatchNorm stats (unet_simple/cnn_simple
+        # workloads) ride along with the params
+        ip = (
+            make_apply_fn(ip_model),
+            {"params": ip_state.params, **ip_state.model_state},
+        )
 
     for stage, preset in (("stage1", "synthetic_interpolation"), ("stage2", "synthetic_dyffusion")):
         if args.stage not in ("all", stage[-1]):

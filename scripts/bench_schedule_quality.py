@@ -79,6 +79,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--workload", choices=sorted(WORKLOADS), default="sst")
     ap.add_argument("--registry", default=None)
+    ap.add_argument("--run_id", default=None,
+                    help="reuse an already-trained stage-2 run in --registry "
+                         "(skip the two-stage training)")
     ap.add_argument("--schedules", nargs="*", default=None)
     ap.add_argument("--extra", nargs="*", default=[],
                     help="extra key=value overrides appended to the workload")
@@ -95,17 +98,20 @@ def main():
         f"trainer.max_epochs={args.epochs}",
         f"trainer.val_every_n_epochs={max(args.epochs // 2, 1)}",
     ]
-    cfg1 = get_config("synthetic_interpolation", common)
-    trainer1, best1 = run_experiment(cfg1)
-    run1 = os.path.basename(trainer1.ckpt.run_dir)
-    print(json.dumps({"stage1_best_crps": best1, "run": run1}))
+    if args.run_id:
+        run2 = args.run_id
+    else:
+        cfg1 = get_config("synthetic_interpolation", common)
+        trainer1, best1 = run_experiment(cfg1)
+        run1 = os.path.basename(trainer1.ckpt.run_dir)
+        print(json.dumps({"stage1_best_crps": best1, "run": run1}))
 
-    cfg2 = get_config(
-        "synthetic_dyffusion", common + [f"diffusion.interpolator_run_id={run1}"]
-    )
-    trainer2, best2 = run_experiment(cfg2)
-    run2 = os.path.basename(trainer2.ckpt.run_dir)
-    print(json.dumps({"stage2_best_crps": best2, "run": run2}))
+        cfg2 = get_config(
+            "synthetic_dyffusion", common + [f"diffusion.interpolator_run_id={run1}"]
+        )
+        trainer2, best2 = run_experiment(cfg2)
+        run2 = os.path.basename(trainer2.ckpt.run_dir)
+        print(json.dumps({"stage2_best_crps": best2, "run": run2}))
 
     points = (
         [(s if s != "None" else None, "cold") for s in args.schedules]

@@ -136,8 +136,12 @@ def main():
     results = {}
     cfg1, dm, ip_model, loss1, state1, batch1 = _build("synthetic_interpolation", overrides)
     ip_apply = make_apply_fn(ip_model)
-    # deep-copy BEFORE benchmarking: the bench loop donates state1's buffers
-    ip_vars = {"params": jax.tree_util.tree_map(jnp.array, state1.params)}
+    # deep-copy BEFORE benchmarking: the bench loop donates state1's buffers.
+    # model_state (BatchNorm stats for unet_simple/cnn_simple) rides along —
+    # the frozen interpolator apply needs the full variables tree
+    ip_vars = jax.tree_util.tree_map(
+        jnp.array, {"params": state1.params, **state1.model_state}
+    )
     if args.stage in ("1", "all"):
         results["stage1_interpolation"] = bench_step(loss1, state1, batch1, args.steps, peak)
         print("stage1:", json.dumps(results["stage1_interpolation"]))
