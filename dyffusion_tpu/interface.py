@@ -527,7 +527,16 @@ def run_experiment(
         pass  # not the main thread / unsupported platform
 
     if resume:
-        trainer.maybe_resume()
+        if (
+            not trainer.maybe_resume()
+            and trainer.ckpt is not None
+            and not trainer.ckpt.has("best")
+        ):
+            # run dir with meta but NO checkpoint blobs (e.g. a registry
+            # synced without weights — runs_flagship in a fresh checkout):
+            # nothing to resume, so clear the stale meta — a ghost
+            # best_score must not suppress the fresh run's best slot
+            trainer.ckpt.reset_run_state()
     elif trainer.ckpt is not None:
         # start-over on a dir with stale state: clear old slots/meta so the
         # fresh run neither inherits a best_score that suppresses its best

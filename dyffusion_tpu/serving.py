@@ -19,10 +19,14 @@ only (~1e-3 relative): serializing canonicalizes the StableHLO module, so
 XLA recompiles it with (validly) different fusion/reassociation decisions
 than the direct trace — identical math, different float associativity.
 
-Portability contract: the export is forced single-device (the reload
-overrides ``trainer.devices=1`` / ``trainer.spatial_shards=1``), so the
-embedded weights are unsharded and the artifact runs on any 1-device
-serving host; ``manifest.json`` records ``devices: 1``. By default the
+Portability contract: the reload is forced single-device (overrides
+``trainer.devices=1`` / ``trainer.spatial_shards=1``), so the embedded
+weights are unsharded and the default artifact runs on any 1-device
+serving host; ``manifest.json`` records ``devices``. Pass ``devices=N``
+(with a pinned batch divisible by N) for a DATA-PARALLEL artifact: the
+batch dimension is sharded over a 1-axis mesh and GSPMD replicates the
+weights, so an N-chip serving host runs N-chip batches — the host must
+have exactly N devices (:func:`load_exported` checks). By default the
 batch dimension is SYMBOLIC (``jax.export.symbolic_shape``): one artifact
 serves any batch size >= 1 (TPU-only Pallas kernels are swapped for their
 XLA fallbacks at trace time, which polymorphic shapes require). Pass
@@ -160,6 +164,7 @@ def export_run(
     platforms: Optional[Sequence[str]] = None,
     batch_size: Optional[int] = None,
     polymorphic_batch: bool = True,
+    devices: int = 1,
 ) -> str:
     """Export ``run_id``'s trained sampler to ``out_dir`` as a serialized
     ``jax.export`` artifact (weights embedded) + ``manifest.json``.
@@ -172,7 +177,15 @@ def export_run(
     — one artifact serves any batch size — which also requires the XLA
     kernel paths. ``polymorphic_batch=False`` pins the batch to
     ``batch_size`` (default: the run's eval_batch_size) and keeps Pallas
-    kernels when exporting for TPU only. Returns the artifact path."""
+    kernels when exporting for TPU only. Returns the artifact path.
+
+    ``devices=N`` exports a DATA-PARALLEL artifact for an N-chip serving
+    host: the batch dimension is sharded over a 1-axis device mesh (GSPMD
+    replicates the embedded weights and partitions the sampler), so one
+    artifact serves N-chip batches at N-chip throughput. Requires a pinned
+    batch (``polymorphic_batch=False``) divisible by N; the serving host
+    must have exactly N devices (recorded in the manifest, checked loudly
+    by :func:`load_exported`)."""
     predict, input_specs, info = build_predict_fn(
         registry_dir, run_id, overrides, slot=slot, split=split, batch_size=batch_size
     )
@@ -181,7 +194,23 @@ def export_run(
 
     multi_platform = platforms is not None and len(set(platforms)) > 1
     cross_platform = platforms is not None and set(platforms) != {jax.default_backend()}
-    need_xla_paths = polymorphic_batch or multi_platform or cross_platform
+    need_xla_paths = polymorphic_batch or multi_platform or cross_platform or devices > 1
+    if devices > 1:
+        if polymorphic_batch:
+            raise ValueError(
+                "devices>1 requires polymorphic_batch=False: the batch must "
+                "be pinned to shard it over the device mesh"
+            )
+        bsz = next(iter(input_specs.values())).shape[0]
+        if bsz % devices:
+            raise ValueError(
+                f"batch_size={bsz} is not divisible by devices={devices}"
+            )
+        if devices > jax.device_count():
+            raise ValueError(
+                f"devices={devices} exceeds the {jax.device_count()} devices "
+                "visible at export time"
+            )
     if polymorphic_batch:
         (b,) = jax.export.symbolic_shape("b")
         export_specs = {
@@ -191,6 +220,22 @@ def export_run(
     else:
         export_specs = input_specs
 
+    if devices > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()[:devices]), ("data",))
+        fn = jax.jit(
+            predict,
+            in_shardings=(
+                {k: NamedSharding(mesh, P("data")) for k in export_specs},
+                NamedSharding(mesh, P()),
+            ),
+            # (N_members, B, T, ...): batch is axis 1
+            out_shardings=NamedSharding(mesh, P(None, "data")),
+        )
+    else:
+        fn = jax.jit(predict)
+
     if need_xla_paths:
         from dyffusion_tpu.ops.pallas_attention import force_xla_path
 
@@ -198,7 +243,7 @@ def export_run(
     else:
         ctx = contextlib.nullcontext()
     with ctx:
-        exported = jax.export.export(jax.jit(predict), **kwargs)(export_specs, seed_spec)
+        exported = jax.export.export(fn, **kwargs)(export_specs, seed_spec)
 
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, _ARTIFACT)
@@ -211,6 +256,7 @@ def export_run(
     out_aval = exported.out_avals[0]
     manifest = {
         **info,
+        "devices": int(devices),  # serving host must have exactly this many
         "platforms": list(exported.platforms),
         "polymorphic_batch": bool(polymorphic_batch),
         "attention_kernel": "xla" if need_xla_paths else "auto",
@@ -230,17 +276,56 @@ def export_run(
     return path
 
 
-def load_exported(out_dir: str):
+def load_exported(out_dir: str, compilation_cache: bool = True):
     """Load an :func:`export_run` artifact; returns ``(predict, manifest)``
     where ``predict(batch, seed)`` executes the compiled sampler. Needs only
-    jax — no framework imports, model code or checkpoint."""
+    jax — no framework imports, model code or checkpoint.
+
+    ``compilation_cache=True`` (default) points JAX's persistent compilation
+    cache at ``<out_dir>/xla_cache`` (unless the process already configured
+    one): the FIRST serving process pays the StableHLO recompile (~2-3 min
+    on TPU, PERF.md serving table); every process restart on the same
+    topology reloads the compiled executable in seconds. The calls are
+    routed through ``jax.jit`` so they hit that cache (one entry per
+    concrete batch shape under a polymorphic-batch artifact)."""
+    if compilation_cache and not getattr(jax.config, "jax_compilation_cache_dir", None):
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.join(out_dir, "xla_cache")
+        )
     with open(os.path.join(out_dir, _ARTIFACT), "rb") as f:
         exported = jax.export.deserialize(f.read())
     with open(os.path.join(out_dir, _MANIFEST)) as f:
         manifest = json.load(f)
+    need = int(manifest.get("devices", 1))
+    if need > 1 and jax.device_count() < need:
+        raise RuntimeError(
+            f"artifact was exported data-parallel over {need} devices but "
+            f"this host has {jax.device_count()} — re-export with devices="
+            f"{jax.device_count()} (or 1) for this topology"
+        )
+
+    if need > 1:
+        # rebuild the export-time placement on THIS host's devices: batch dim
+        # sharded over a 1-axis data mesh, seed replicated (export_run's
+        # devices=N contract)
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        mesh = Mesh(np.array(jax.devices()[:need]), ("data",))
+        _call = jax.jit(
+            exported.call,
+            in_shardings=(
+                {k: NamedSharding(mesh, P("data")) for k in manifest["inputs"]},
+                NamedSharding(mesh, P()),
+            ),
+            out_shardings=NamedSharding(mesh, P(None, "data")),
+        )
+    else:
+        _call = jax.jit(exported.call)
 
     def predict(batch: Dict[str, jax.Array], seed) -> jax.Array:
-        return exported.call(batch, jnp.asarray(seed, jnp.uint32))
+        # numpy scalar, not jnp: an uncommitted input lets the jit place the
+        # seed per the artifact's sharding (replicated on a devices>1 mesh)
+        return _call(batch, np.uint32(seed))
 
     return predict, manifest
 
@@ -248,8 +333,8 @@ def load_exported(out_dir: str):
 def _main(argv: Optional[Sequence[str]] = None) -> str:
     """CLI: ``python -m dyffusion_tpu.serving run_id=<id> out=<dir>
     [registry_dir=runs] [slot=best] [split=predict] [platforms=tpu,cpu]
-    [batch_size=N] [polymorphic_batch=false] [key.subkey=value ...]`` —
-    export a trained run's sampler artifact."""
+    [batch_size=N] [polymorphic_batch=false] [devices=N]
+    [key.subkey=value ...]`` — export a trained run's sampler artifact."""
     import sys
 
     def usage(msg: str) -> "SystemExit":
@@ -257,7 +342,7 @@ def _main(argv: Optional[Sequence[str]] = None) -> str:
 
     args: Dict[str, Any] = dict(
         registry_dir="runs", slot="best", split="predict", platforms=None,
-        batch_size=None, polymorphic_batch=True,
+        batch_size=None, polymorphic_batch=True, devices=1,
     )
     overrides = []
     for arg in sys.argv[1:] if argv is None else argv:
@@ -268,8 +353,8 @@ def _main(argv: Optional[Sequence[str]] = None) -> str:
             args[k] = v
         elif k == "platforms":
             args["platforms"] = v.split(",")
-        elif k == "batch_size":
-            args["batch_size"] = int(v)
+        elif k in ("batch_size", "devices"):
+            args[k] = int(v)
         elif k == "polymorphic_batch":
             if v.lower() not in ("true", "false"):
                 raise usage(f"polymorphic_batch must be true or false, got {v!r}")
@@ -282,7 +367,7 @@ def _main(argv: Optional[Sequence[str]] = None) -> str:
         args["registry_dir"], args["run_id"], args.pop("out"),
         overrides=overrides, slot=args["slot"], split=args["split"],
         platforms=args["platforms"], batch_size=args["batch_size"],
-        polymorphic_batch=args["polymorphic_batch"],
+        polymorphic_batch=args["polymorphic_batch"], devices=args["devices"],
     )
     print(path)
     return path

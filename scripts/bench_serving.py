@@ -12,6 +12,10 @@ measures on the current backend:
   ``Trainer.evaluate`` product path on the same checkpoint.
 
     python scripts/bench_serving.py [--epochs 10] [--registry DIR --run_id ID]
+        [--keep-artifact DIR]
+    python scripts/bench_serving.py --restart-only DIR   # process-restart cost
+        # (fresh process per run; run 1 cold compile, run 2+ hit the
+        #  persistent XLA cache load_exported colocates at DIR/xla_cache)
 
 Timing ends with a real device->host read (``np.asarray``) —
 ``block_until_ready`` is unreliable through the TPU tunnel (PERF.md).
@@ -89,6 +93,16 @@ def _bench_artifact(out_dir: str, specs, n_members: int, horizon: int, calls: in
         lat.append(time.perf_counter() - t1)
     lat = np.asarray(lat)
     p50 = float(np.percentile(lat, 50))
+
+    # pipelined throughput: dispatch every call before reading any result
+    # (JAX async dispatch) — the pattern a serving host that overlaps request
+    # handling with device work runs at, vs the strictly synchronous
+    # latency loop above
+    t2 = time.perf_counter()
+    outs = [served(batch, i) for i in range(calls)]
+    for o in outs:
+        np.asarray(o)
+    t_pipe = (time.perf_counter() - t2) / calls
     return {
         "artifact_mb": round(size_mb, 1),
         "load_plus_first_call_s": round(t_first, 2),
@@ -96,8 +110,60 @@ def _bench_artifact(out_dir: str, specs, n_members: int, horizon: int, calls: in
         "latency_p50_ms": round(p50 * 1e3, 1),
         "latency_p90_ms": round(float(np.percentile(lat, 90)) * 1e3, 1),
         "frames_per_sec_per_chip": round(n_members * B * horizon / p50, 1),
+        "fps_per_chip_pipelined": round(n_members * B * horizon / t_pipe, 1),
         "platforms": manifest["platforms"],
         "attention_kernel": manifest["attention_kernel"],
+    }
+
+
+def _bench_restart(artifact_dir: str, runs: int) -> dict:
+    """Serving-process RESTART cost: each run is a FRESH python process that
+    loads the artifact through ``serving.load_exported`` (which colocates
+    JAX's persistent compilation cache at ``<artifact>/xla_cache``) and
+    executes one call. Run 1 is cold (StableHLO recompile + cache write);
+    run 2+ hit the cache — the number a serving fleet restarts at.
+
+    The parent process must NOT have initialized the backend (on TPU only
+    one process can hold the chip), so the batch is synthesized numpy-only
+    from the manifest and the child owns the device."""
+    import subprocess
+
+    with open(os.path.join(artifact_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    snippet = (
+        "import json, sys, time\n"
+        "import numpy as np\n"
+        f"sys.path.insert(0, {repo!r})\n"
+        "out_dir = sys.argv[1]\n"
+        "with open(out_dir + '/manifest.json') as f:\n"
+        "    manifest = json.load(f)\n"
+        "rng = np.random.default_rng(0)\n"
+        "batch = {k: rng.standard_normal(\n"
+        "             [6 if d == 'b' else d for d in v['shape']]\n"
+        "         ).astype(v['dtype'])\n"
+        "         for k, v in manifest['inputs'].items()}\n"
+        "t0 = time.perf_counter()\n"
+        "from dyffusion_tpu.serving import load_exported\n"
+        "served, _ = load_exported(out_dir)\n"
+        "out = np.asarray(served(batch, 0))\n"
+        "assert np.isfinite(out).all()\n"
+        "print(json.dumps({'load_plus_first_call_s':\n"
+        "                  round(time.perf_counter() - t0, 2)}))\n"
+    )
+    times = []
+    for i in range(runs):
+        proc = subprocess.run(
+            [sys.executable, "-c", snippet, artifact_dir],
+            capture_output=True, text=True, timeout=1800,
+        )
+        assert proc.returncode == 0, f"restart run {i}:\n{proc.stdout}\n{proc.stderr}"
+        t = json.loads(proc.stdout.strip().splitlines()[-1])["load_plus_first_call_s"]
+        times.append(t)
+        print(json.dumps({"restart_run": i, "load_plus_first_call_s": t}))
+    return {
+        "restart_cold_s": times[0],
+        "restart_cached_s": min(times[1:]) if len(times) > 1 else None,
     }
 
 
@@ -108,7 +174,17 @@ def main():
     ap.add_argument("--registry", default=None)
     ap.add_argument("--run_id", default=None)
     ap.add_argument("--split", default="predict")
+    ap.add_argument("--keep-artifact", default=None, metavar="DIR",
+                    help="keep the polymorphic artifact here (for --restart-only)")
+    ap.add_argument("--restart-only", default=None, metavar="ARTIFACT_DIR",
+                    help="measure serving-process restart cost on an existing "
+                         "artifact and exit (parent never touches the device)")
+    ap.add_argument("--restart-runs", type=int, default=2)
     args = ap.parse_args()
+
+    if args.restart_only:
+        print(json.dumps(_bench_restart(args.restart_only, args.restart_runs)))
+        return
 
     from dyffusion_tpu.interface import reload_trainer
     from dyffusion_tpu.serving import build_predict_fn, export_run
@@ -128,7 +204,8 @@ def main():
 
     results = {}
     for flavor, poly in (("polymorphic", True), ("static", False)):
-        out_dir = tempfile.mkdtemp(prefix=f"serving_artifact_{flavor}_")
+        keep = args.keep_artifact if poly else None
+        out_dir = keep or tempfile.mkdtemp(prefix=f"serving_artifact_{flavor}_")
         try:
             t0 = time.perf_counter()
             export_run(registry, run_id, out_dir, split=args.split,
@@ -144,7 +221,8 @@ def main():
             results[flavor] = row
             print(flavor, json.dumps(row))
         finally:
-            shutil.rmtree(out_dir, ignore_errors=True)
+            if not keep:
+                shutil.rmtree(out_dir, ignore_errors=True)
 
     print(json.dumps({
         "serving_bench": results,

@@ -1,0 +1,50 @@
+"""Round-4 fixes: resume behavior on a registry synced without checkpoint
+blobs (the ``runs_flagship`` layout — metrics/meta committed, ``best/`` and
+``last/`` gitignored).
+"""
+import os
+import shutil
+
+import numpy as np
+
+from dyffusion_tpu.config import get_config
+from dyffusion_tpu.interface import run_experiment
+
+TINY = [
+    "datamodule.n_traj=4",
+    "datamodule.n_time=16",
+    "datamodule.spatial=(8,8)",
+    "datamodule.channels=1",
+    "datamodule.horizon=3",
+    "datamodule.batch_size=4",
+    "model.dim=8",
+    "model.dim_mults=(1,)",
+    "module.num_predictions=2",
+    "trainer.max_epochs=2",
+]
+
+
+def test_rerun_on_run_dir_without_checkpoint_blobs(tmp_path):
+    """A run dir with meta.json (incl. a recorded best_score) but NO
+    checkpoint slots must retrain from scratch AND write a fresh best slot —
+    the ghost best_score must not suppress it (interface.run_experiment
+    clears the stale meta when there is nothing to resume)."""
+    reg = str(tmp_path / "reg")
+    ov = TINY + [f"registry_dir={reg}"]
+    trainer1, best1 = run_experiment(get_config("synthetic_interpolation", ov))
+    run_dir = trainer1.ckpt.run_dir
+    assert np.isfinite(best1)
+
+    # simulate the fresh-checkout registry: meta/metrics survive, blobs don't
+    shutil.rmtree(os.path.join(run_dir, "best"))
+    shutil.rmtree(os.path.join(run_dir, "last"))
+
+    trainer2, best2 = run_experiment(get_config("synthetic_interpolation", ov))
+    assert trainer2.ckpt.run_dir == run_dir
+    # trained fresh (not fast-forwarded off the stale epochs_done)...
+    assert len(trainer2.history) == 2
+    assert int(trainer2.state.step) > 0
+    # ...and the best slot exists again even if this run scored no better
+    # than the ghost meta best_score
+    assert trainer2.ckpt.has("best") and trainer2.ckpt.has("last")
+    assert np.isfinite(best2)

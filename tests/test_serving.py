@@ -94,7 +94,7 @@ def test_export_roundtrip_matches_direct_call(trained_run, tmp_path):
     path = export_run(registry, run_id, out_dir)
     assert os.path.exists(path)
 
-    served, manifest = load_exported(out_dir)
+    served, manifest = load_exported(out_dir, compilation_cache=False)
     out = np.asarray(served(batch, 123))
     # Recompilation tolerance, NOT bitwise: the serialized StableHLO module
     # is canonicalized, so XLA compiles it with different fusion/
@@ -114,8 +114,8 @@ def test_artifact_is_deterministic(trained_run, tmp_path):
     export_run(registry, run_id, out_dir)
     _, specs, _ = build_predict_fn(registry, run_id)
     batch = _batch_from_specs(specs)
-    served_a, _ = load_exported(out_dir)
-    served_b, _ = load_exported(out_dir)
+    served_a, _ = load_exported(out_dir, compilation_cache=False)
+    served_b, _ = load_exported(out_dir, compilation_cache=False)
     a = np.asarray(served_a(batch, 42))
     np.testing.assert_array_equal(a, np.asarray(served_a(batch, 42)))
     np.testing.assert_array_equal(a, np.asarray(served_b(batch, 42)))
@@ -127,7 +127,7 @@ def test_polymorphic_batch_serves_any_size(trained_run, tmp_path):
     _, specs, info = build_predict_fn(registry, run_id)
     out_dir = str(tmp_path / "artifact")
     export_run(registry, run_id, out_dir)
-    served, manifest = load_exported(out_dir)
+    served, manifest = load_exported(out_dir, compilation_cache=False)
     assert manifest["polymorphic_batch"] is True
     assert manifest["inputs"]["dynamics"]["shape"][0] == "b"
     for B in (1, 2, 5):
@@ -141,7 +141,7 @@ def test_static_export_pins_batch_size(trained_run, tmp_path):
     registry, run_id = trained_run
     out_dir = str(tmp_path / "artifact")
     export_run(registry, run_id, out_dir, batch_size=2, polymorphic_batch=False)
-    served, manifest = load_exported(out_dir)
+    served, manifest = load_exported(out_dir, compilation_cache=False)
     assert manifest["polymorphic_batch"] is False
     assert manifest["batch_size"] == 2
     assert manifest["inputs"]["dynamics"]["shape"][0] == 2
@@ -169,7 +169,7 @@ def test_stage2_dyffusion_export_roundtrip(dyffusion_run, tmp_path):
 
     out_dir = str(tmp_path / "artifact")
     export_run(registry, run_id, out_dir, split="test")
-    served, manifest = load_exported(out_dir)
+    served, manifest = load_exported(out_dir, compilation_cache=False)
     assert manifest["output"]["shape"][2] == 6
     out = np.asarray(served(batch, 5))
     # wider than the stage-1 roundtrip: the 2-window AR chain feeds window-1
@@ -191,7 +191,7 @@ def test_multi_platform_export(trained_run, tmp_path):
     registry, run_id = trained_run
     out_dir = str(tmp_path / "artifact")
     export_run(registry, run_id, out_dir, platforms=("cpu", "tpu"))
-    served, manifest = load_exported(out_dir)
+    served, manifest = load_exported(out_dir, compilation_cache=False)
     assert set(manifest["platforms"]) == {"cpu", "tpu"}
     assert manifest["attention_kernel"] == "xla"
     _, specs, _ = build_predict_fn(registry, run_id)
@@ -227,7 +227,7 @@ def test_dead_input_frames_are_truly_dead(trained_run, tmp_path):
     registry, run_id = trained_run
     out_dir = str(tmp_path / "artifact")
     export_run(registry, run_id, out_dir)
-    served, manifest = load_exported(out_dir)
+    served, manifest = load_exported(out_dir, compilation_cache=False)
     _, specs, _ = build_predict_fn(registry, run_id)
     batch = _batch_from_specs(specs, batch_size=2)
     ref = np.asarray(served(batch, 9))
@@ -253,9 +253,157 @@ def test_artifact_is_self_contained(trained_run, tmp_path):
     shutil.copytree(out_dir, moved)
     shutil.rmtree(out_dir)
     batch = {k: np.zeros((3,) + s.shape[1:], s.dtype) for k, s in specs.items()}
-    served, _ = load_exported(moved)
+    served, _ = load_exported(moved, compilation_cache=False)
     out = np.asarray(served(batch, 0))
     assert np.isfinite(out).all()
+
+
+@pytest.fixture(scope="module")
+def spring_dyffusion_run(tmp_path_factory):
+    """Two-stage spring-mesh DYffusion through the real registry handoff:
+    the physical-systems workload whose datamodule overrides the
+    boundary-condition hook (pinned nodes re-imposed on every prediction,
+    ref ``physical_systems_benchmark.py:274-296``)."""
+    from dyffusion_tpu.data.physical_systems import write_fake_benchmark_dir
+
+    root = str(tmp_path_factory.mktemp("bench"))
+    write_fake_benchmark_dir(root, "spring-mesh", n_time=16)
+    registry = str(tmp_path_factory.mktemp("registry_spring"))
+    tiny = [
+        f"datamodule.data_dir={root}",
+        "datamodule.horizon=4",
+        "datamodule.prediction_horizon=8",  # 2 AR windows at test/predict
+        "datamodule.batch_size=4",
+        "datamodule.eval_batch_size=2",
+        "model.dim=8",
+        "module.num_predictions=2",
+        "module.num_predictions_test=2",
+        "trainer.max_epochs=1",
+        f"registry_dir={registry}",
+    ]
+    cfg1 = get_config("spring_mesh_interpolation", tiny)
+    trainer1, best1 = run_experiment(cfg1)
+    assert np.isfinite(best1)
+    run1 = os.path.basename(trainer1.ckpt.run_dir)
+    cfg2 = get_config(
+        "spring_mesh_dyffusion", tiny + [f"diffusion.interpolator_run_id={run1}"]
+    )
+    trainer2, best2 = run_experiment(cfg2)
+    assert np.isfinite(best2)
+    return registry, os.path.basename(trainer2.ckpt.run_dir), trainer2
+
+
+def test_spring_export_applies_boundary_conditions(spring_dyffusion_run, tmp_path):
+    """The physics boundary hook lives INSIDE the artifact: pinned spring-mesh
+    nodes (fixed_mask) must carry the base positions and zero momentum in
+    every served ensemble member, at every AR-chained step."""
+    registry, run_id, trainer = spring_dyffusion_run
+    out_dir = str(tmp_path / "artifact")
+    export_run(registry, run_id, out_dir, split="test")
+    served, manifest = load_exported(out_dir, compilation_cache=False)
+    assert manifest["output"]["shape"][2] == 8  # 2 chained windows of h=4
+
+    # REAL batch (metadata matters for the boundary hook), reduced to the
+    # serving contract: conditioning window + statics
+    example = next(iter(trainer._eval_batches("test")))
+    B = next(iter(manifest["inputs"].values()))["shape"][0]
+    B = 2 if B == "b" else B
+    batch = {
+        k: np.asarray(v)[:B, : manifest["dynamics_frames"]]
+        if k == "dynamics" else np.asarray(v)[:B]
+        for k, v in example.items()
+    }
+    out = np.asarray(served(batch, 3))  # (N, B, T, H, W, C)
+    assert np.isfinite(out).all()
+    fixed = np.asarray(batch["metadata_fixed_mask"], bool)  # (B, H, W, C)
+    base_q = np.asarray(batch["metadata_base_q"])
+    for n in range(out.shape[0]):
+        for t in range(out.shape[2]):
+            for b in range(out.shape[1]):
+                fq = fixed[b][..., 2:]
+                np.testing.assert_allclose(
+                    out[n, b, t][..., 2:][fq], base_q[b][fq], rtol=1e-4, atol=1e-5
+                )
+                fp = fixed[b][..., :2]
+                assert np.all(out[n, b, t][..., :2][fp] == 0.0)
+
+
+def test_data_parallel_export_serves_on_device_mesh(trained_run, tmp_path):
+    """``devices=4`` exports a DATA-PARALLEL artifact: batch dim sharded over
+    a 4-device mesh, weights GSPMD-replicated. Served output must match the
+    1-device artifact on the same inputs (recompilation tolerance)."""
+    if jax.device_count() < 4:
+        pytest.skip("needs >=4 devices (canonical suite runs with 8)")
+    registry, run_id = trained_run
+    _, specs, _ = build_predict_fn(registry, run_id, batch_size=4)
+    batch = _batch_from_specs(specs)
+
+    solo_dir = str(tmp_path / "solo")
+    export_run(registry, run_id, solo_dir, batch_size=4, polymorphic_batch=False)
+    solo, _ = load_exported(solo_dir, compilation_cache=False)
+    ref = np.asarray(solo(batch, 11))
+
+    dp_dir = str(tmp_path / "dp4")
+    export_run(
+        registry, run_id, dp_dir, batch_size=4, polymorphic_batch=False, devices=4
+    )
+    served, manifest = load_exported(dp_dir, compilation_cache=False)
+    assert manifest["devices"] == 4
+    out = np.asarray(served(batch, 11))
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=1e-5)
+
+    # misuse fails loudly at export time
+    with pytest.raises(ValueError, match="divisible"):
+        export_run(registry, run_id, str(tmp_path / "bad"), batch_size=3,
+                   polymorphic_batch=False, devices=4)
+    with pytest.raises(ValueError, match="polymorphic_batch"):
+        export_run(registry, run_id, str(tmp_path / "bad2"), devices=4)
+
+
+def test_data_parallel_artifact_rejects_small_host(trained_run, tmp_path, monkeypatch):
+    """A devices=N artifact on a host with fewer devices must fail with the
+    re-export instruction, not a cryptic XLA error."""
+    if jax.device_count() < 4:
+        pytest.skip("needs >=4 devices")
+    registry, run_id = trained_run
+    out_dir = str(tmp_path / "dp4")
+    export_run(registry, run_id, out_dir, batch_size=4, polymorphic_batch=False,
+               devices=4)
+    import dyffusion_tpu.serving as serving_mod
+
+    monkeypatch.setattr(serving_mod.jax, "device_count", lambda: 2)
+    with pytest.raises(RuntimeError, match="re-export"):
+        load_exported(out_dir, compilation_cache=False)
+
+
+def test_load_exported_populates_compilation_cache(trained_run, tmp_path):
+    """``load_exported`` colocates a persistent XLA compilation cache with
+    the artifact: after the first call the cache dir holds the compiled
+    executable, so a serving-process restart skips the StableHLO recompile
+    (PERF.md serving table: ~2-3 min on TPU)."""
+    registry, run_id = trained_run
+    out_dir = str(tmp_path / "artifact")
+    export_run(registry, run_id, out_dir)
+
+    prev_dir = getattr(jax.config, "jax_compilation_cache_dir", None)
+    prev_min = getattr(jax.config, "jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_compilation_cache_dir", None)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    try:
+        served, manifest = load_exported(out_dir)  # compilation_cache=True
+        cache_dir = os.path.join(out_dir, "xla_cache")
+        assert getattr(jax.config, "jax_compilation_cache_dir", None) == cache_dir
+        batch = _batch_from_specs(
+            {k: jax.ShapeDtypeStruct([2 if d == "b" else d for d in v["shape"]],
+                                     np.dtype(v["dtype"]))
+             for k, v in manifest["inputs"].items()}
+        )
+        out = np.asarray(served(batch, 7))
+        assert np.isfinite(out).all()
+        assert os.path.isdir(cache_dir) and os.listdir(cache_dir)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
 
 
 def test_empty_split_raises_clear_error(trained_run, monkeypatch):
