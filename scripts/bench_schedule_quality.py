@@ -31,6 +31,7 @@ jax.config.update(
 from dyffusion_tpu.utils.workloads import (  # noqa: E402
     SST_FAST_EVAL,
     ns_overrides,
+    spring_overrides,
     sst_overrides,
 )
 
@@ -53,6 +54,21 @@ WORKLOADS = {
         "datamodule.n_traj=12",
         "datamodule.n_time=48",  # train: 7 traj x 32 windows = 224 examples
         "datamodule.batch_size=32",
+        "datamodule.eval_batch_size=2",
+        "module.num_predictions_test=20",
+        "diffusion.additional_interpolation_steps=8",
+        *SST_FAST_EVAL,
+    ]),
+    # Spring-mesh (ref ``configs/experiment/spring_mesh.yaml``): 10x10 grid,
+    # C=4+1, SimpleConvNet+BatchNorm, the LONG horizon h=134 — the sampler
+    # chain is already 134+ steps, so this probes the DSL where skipping
+    # auxiliary steps changes a long rollout, not a short one. The reference
+    # spring recipe also uses k=0; as with NS the frontier runs at k=8 so
+    # the DSL has steps to skip.
+    "spring": spring_overrides([
+        "datamodule.n_traj=16",
+        "datamodule.n_time=142",  # train split: 9 traj x 8 windows >= batch 64
+        "datamodule.batch_size=64",
         "datamodule.eval_batch_size=2",
         "module.num_predictions_test=20",
         "diffusion.additional_interpolation_steps=8",
