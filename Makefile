@@ -2,7 +2,7 @@
 # targets over utils/{check_copies,release,get_modified_files}.py; ours mirrors
 # that with tools/ and adds the bench and multichip dry-run).
 
-.PHONY: test test-fast quality modified-quality fix-copies bench dryrun install package
+.PHONY: test test-fast quality modified-quality fix-copies bench dryrun install package ci
 
 check_dirs := dyffusion_tpu tests tools scripts
 
@@ -48,3 +48,6 @@ bench-schedule-quality:
 
 dryrun:
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+# the per-push CI gate (.github/workflows/ci.yaml), runnable locally
+ci: quality test-fast

@@ -169,6 +169,16 @@ class CheckpointManager:
             path = self._slot_dir(slot)
             if os.path.exists(path):
                 shutil.rmtree(path)
+        # Rotate the old run's metric stream so the fresh run writes to a
+        # clean metrics.jsonl: appending a second run to the same file breaks
+        # every consumer that assumes one monotone run per file
+        # (registry_api.get_run_metrics, the curve plots).
+        metrics_path = os.path.join(self.run_dir, "metrics.jsonl")
+        if os.path.exists(metrics_path):
+            n = 1
+            while os.path.exists(f"{metrics_path}.{n}"):
+                n += 1
+            os.replace(metrics_path, f"{metrics_path}.{n}")
         meta = self._read_meta()
         for key in ("best_score", "best_monitor", "best_step", "last_step", "epochs_done"):
             meta.pop(key, None)

@@ -48,3 +48,18 @@ def test_rerun_on_run_dir_without_checkpoint_blobs(tmp_path):
     # than the ghost meta best_score
     assert trainer2.ckpt.has("best") and trainer2.ckpt.has("last")
     assert np.isfinite(best2)
+
+    # round-5 (ADVICE r4): reset_run_state rotates the old metric stream so
+    # metrics.jsonl holds exactly ONE monotone run — consumers like
+    # registry_api.get_run_metrics assume one run per file
+    import json
+
+    rotated = os.path.join(run_dir, "metrics.jsonl.1")
+    assert os.path.exists(rotated), "old metrics stream should be rotated aside"
+    steps = []
+    with open(os.path.join(run_dir, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if "step" in rec:
+                steps.append(rec["step"])
+    assert steps == sorted(steps), f"metrics.jsonl not monotone: {steps}"
