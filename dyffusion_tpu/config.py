@@ -250,6 +250,34 @@ _COMBO: Dict[str, Dict[str, Any]] = {
 }
 
 
+# Measured per-workload EXECUTION-LAYOUT recipes (PERF.md train-perf matrix,
+# TPU v5e): opt in with `perf=measured`. Each recipe keeps the SCIENCE of the
+# parity default — same effective batch, same mean gradient, same run id
+# (utils/naming.py hashes the effective batch) — and changes only how the
+# micro-batches are executed. Presets without an entry are measured no-ops:
+# NS's 256x256 internal resample already runs ~51% MFU at the reference
+# accumulated layout (folding loses there), and spring-mesh is dispatch-bound
+# at 10x10 (KB-scale activations, nothing to fold). Ref recipes:
+# configs/experiment/oisst_pacific.yaml:29-33, navier_stokes.yaml:30,
+# spring_mesh.yaml:28.
+_PERF_MEASURED: Dict[str, Dict[str, Any]] = {
+    # stage-1 fold fully: B64 x acc4 -> B256 physical, +39% ex/s (PERF.md r3)
+    "oisst_pacific_interpolation": {
+        "trainer": {"fold_accumulation_into_batch": True},
+    },
+    # stage-2 half-fold + remat: B128 x acc2, same eff-256 gradient, +14.2%
+    # (full fold needs ~20 GB > v5e HBM). Assumes the default
+    # module.use_ema=false: with EMA on, manual re-batching forks the
+    # per-micro-batch EMA cadence (see PERF.md r3).
+    "oisst_pacific_dyffusion": {
+        "datamodule": {"batch_size": 128},
+        "trainer": {"accumulate_grad_batches": 2},
+        "model": {"remat": True},
+    },
+}
+_PERF_MODES = ("parity", "measured")
+
+
 def deep_merge(base: Dict[str, Any], override: Dict[str, Any]) -> Dict[str, Any]:
     out = copy.deepcopy(base)
     for k, v in (override or {}).items():
@@ -279,8 +307,25 @@ def get_config(preset: Optional[str] = None, overrides: Optional[List[str]] = No
         cfg = deep_merge(cfg, _METHODS[method])
         cfg = deep_merge(cfg, _COMBO.get(preset, {}))
         cfg["preset"] = preset
-    extra_ok = set()
+    # perf=measured applies the measured execution-layout recipe for this
+    # preset (PERF.md) BEFORE the dotted overrides, so explicit user keys
+    # still win; perf=parity (the default) is the untouched reference layout
+    rest = []
     for ov in overrides or []:
+        key, _, val = ov.partition("=")
+        if key.strip() == "perf":
+            val = val.strip()
+            if val not in _PERF_MODES:
+                raise ValueError(
+                    f"unknown perf mode '{val}' (choose from {list(_PERF_MODES)})"
+                )
+            if val == "measured":
+                cfg = deep_merge(cfg, _PERF_MEASURED.get(preset or "", {}))
+            cfg["perf"] = val
+        else:
+            rest.append(ov)
+    extra_ok = set()
+    for ov in rest:
         key, was_plus = apply_override(cfg, ov)
         if was_plus:
             extra_ok.add(key)
@@ -329,7 +374,7 @@ def apply_override(cfg: Dict[str, Any], override: str) -> Tuple[str, bool]:
 _TOP_LEVEL_KEYS = {
     "seed", "registry_dir", "experiment", "preset", "datamodule", "model",
     "diffusion", "module", "trainer", "debug", "run_id", "jax_debug_nans",
-    "matmul_precision", "torch_matmul_precision", "use_wandb",
+    "matmul_precision", "torch_matmul_precision", "use_wandb", "perf",
 }
 _TRAINER_KEYS = {
     "max_epochs", "max_steps", "val_every_n_epochs", "save_checkpoints",

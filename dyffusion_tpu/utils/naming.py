@@ -43,7 +43,11 @@ def get_group_name(config: Dict[str, Any]) -> str:
 # (Lightning's resume semantics) and (b) moving a registry directory does not
 # orphan every run in it. Mirrors the reference's duplicate-run detection,
 # which compares science hparams only (ref ``config_utils.py:242-283``).
-_VOLATILE_TOP = ("registry_dir", "preset", "use_wandb", "run_id", "mode", "debug")
+_VOLATILE_TOP = ("registry_dir", "preset", "use_wandb", "run_id", "mode", "debug",
+                 # perf selects an execution-layout recipe (config._PERF_MEASURED)
+                 # whose knobs are themselves volatile or enter via
+                 # effective_train_batch — the mode name must not fork the id
+                 "perf")
 _VOLATILE_TRAINER = (
     "max_epochs",
     "max_steps",

@@ -94,3 +94,46 @@ def test_overrides_still_win_over_combos():
         "navier_stokes_dyffusion", ["diffusion.forward_conditioning=data"]
     )
     assert cfg["diffusion"]["forward_conditioning"] == "data"
+
+
+def test_perf_measured_applies_per_workload_recipe():
+    """perf=measured applies the MEASURED execution-layout recipe per preset
+    (PERF.md train-perf matrix) without touching the science: same effective
+    batch, same run id as the parity default (EMA off)."""
+    import pytest
+
+    from dyffusion_tpu.utils.naming import get_run_id
+
+    # SST stage-1: fold the accumulation into the physical batch (+39%)
+    parity = get_config("oisst_pacific_interpolation")
+    measured = get_config("oisst_pacific_interpolation", ["perf=measured"])
+    assert "fold_accumulation_into_batch" not in parity["trainer"]
+    assert measured["trainer"]["fold_accumulation_into_batch"] is True
+    assert measured["perf"] == "measured"
+    assert get_run_id(measured) == get_run_id(parity)
+
+    # SST stage-2: half-fold + remat (B128 x acc2, same eff-256 gradient)
+    parity2 = get_config("oisst_pacific_dyffusion")
+    measured2 = get_config("oisst_pacific_dyffusion", ["perf=measured"])
+    assert (parity2["datamodule"]["batch_size"], parity2["trainer"]["accumulate_grad_batches"]) == (64, 4)
+    assert (measured2["datamodule"]["batch_size"], measured2["trainer"]["accumulate_grad_batches"]) == (128, 2)
+    assert measured2["model"]["remat"] is True
+    assert get_run_id(measured2) == get_run_id(parity2)
+
+    # NS / spring: the measured best IS the reference layout -> no-op
+    for preset in ("navier_stokes_dyffusion", "spring_mesh_interpolation"):
+        a = get_config(preset)
+        b = get_config(preset, ["perf=measured"])
+        b.pop("perf")
+        assert a == b
+
+    # explicit user overrides still win over the recipe
+    over = get_config(
+        "oisst_pacific_dyffusion", ["perf=measured", "datamodule.batch_size=32"]
+    )
+    assert over["datamodule"]["batch_size"] == 32
+
+    # perf=parity is the untouched default; unknown modes fail loudly
+    assert get_config("oisst_pacific_interpolation", ["perf=parity"])["trainer"] == parity["trainer"]
+    with pytest.raises(ValueError, match="perf mode"):
+        get_config("oisst_pacific_interpolation", ["perf=turbo"])

@@ -422,3 +422,96 @@ def test_cli_rejects_malformed_args():
         _main(["run_id=x", "out=y", "oops-no-equals"])
     with pytest.raises(SystemExit, match="polymorphic_batch"):
         _main(["run_id=x", "out=y", "polymorphic_batch=maybe"])
+
+
+@pytest.fixture(scope="module")
+def ns_dyffusion_run(tmp_path_factory):
+    """Two-stage Navier-Stokes DYffusion run (UNetSimple backbone,
+    forward_conditioning='none' + refined intermediates per the
+    navier_stokes_dyffusion preset): the workload whose boundary condition is
+    TIME-DEPENDENT — the parabolic inflow profile driven by per-example
+    ``t0``/``dt`` metadata across AR windows (ref
+    ``physical_systems_benchmark.py:245-273,299-303``)."""
+    from dyffusion_tpu.data.physical_systems import write_fake_benchmark_dir
+
+    root = str(tmp_path_factory.mktemp("bench_ns"))
+    write_fake_benchmark_dir(root, "navier-stokes", n_time=12)
+    registry = str(tmp_path_factory.mktemp("registry_ns"))
+    tiny = [
+        f"datamodule.data_dir={root}",
+        "datamodule.horizon=4",
+        "datamodule.prediction_horizon=8",  # 2 AR windows at test/predict
+        "datamodule.batch_size=4",
+        "datamodule.eval_batch_size=2",
+        "model.dim=8",
+        "model.upsample_dims=(64,64)",
+        "module.num_predictions=2",
+        "module.num_predictions_test=2",
+        "trainer.max_epochs=1",
+        "trainer.max_steps=2",
+        f"registry_dir={registry}",
+    ]
+    cfg1 = get_config("navier_stokes_interpolation", tiny)
+    trainer1, best1 = run_experiment(cfg1)
+    assert np.isfinite(best1)
+    run1 = os.path.basename(trainer1.ckpt.run_dir)
+    cfg2 = get_config(
+        "navier_stokes_dyffusion", tiny + [f"diffusion.interpolator_run_id={run1}"]
+    )
+    trainer2, best2 = run_experiment(cfg2)
+    assert np.isfinite(best2)
+    return registry, os.path.basename(trainer2.ckpt.run_dir), trainer2
+
+
+def test_ns_export_applies_time_dependent_boundary_conditions(ns_dyffusion_run, tmp_path):
+    """The HARD boundary case lives inside the artifact: the NS parabolic
+    inflow ``4 v y (0.41-y)/0.41^2 (1 - e^{-5t})`` evaluated at the ABSOLUTE
+    simulation time ``t0 + dt * step`` of every AR-chained step, with
+    ``t0``/``dt`` read from per-example batch metadata (not baked constants),
+    plus fixed-mask zeroing — in every served ensemble member (ref
+    ``physical_systems_benchmark.py:245-273,299-303``)."""
+    registry, run_id, trainer = ns_dyffusion_run
+    out_dir = str(tmp_path / "artifact")
+    export_run(registry, run_id, out_dir, split="test")
+    served, manifest = load_exported(out_dir, compilation_cache=False)
+    assert manifest["output"]["shape"][2] == 8  # 2 chained windows of h=4
+
+    # REAL example (metadata layout matters), tiled to B=2 rows with
+    # DISTINCT per-row t0/dt so metadata plumb-through is observable
+    example = next(iter(trainer._eval_batches("test")))
+    B = 2
+    batch = {}
+    for k, v in example.items():
+        v = np.asarray(v)
+        v = v[:, : manifest["dynamics_frames"]] if k == "dynamics" else v
+        reps = (B,) + (1,) * (v.ndim - 1)
+        batch[k] = np.tile(v[:1], reps) if v.shape[0] < B else v[:B]
+    t0 = np.array([0.3, 1.7], np.float32)
+    dt = np.array([0.1, 0.25], np.float32)
+    batch["metadata_t0"] = t0
+    batch["metadata_dt"] = dt
+
+    out = np.asarray(served(batch, 3))  # (N, B, T, H, W, C)
+    assert np.isfinite(out).all()
+    v = np.asarray(batch["metadata_in_velocity"])  # (B,)
+    vy = np.asarray(batch["metadata_vertex_y"])  # (B, W)
+    fixed = np.asarray(batch["metadata_fixed_mask"], bool)  # (B, H, W, 3)
+    for b in range(B):
+        for t in range(out.shape[2]):
+            # absolute simulation time of AR step t (1-based horizon steps)
+            abs_t = t0[b] + dt[b] * (t + 1)
+            lb = v[b] * 4.0 * vy[b] * (0.41 - vy[b]) / 0.41**2 * (
+                1.0 - np.exp(-5.0 * abs_t)
+            )
+            for n in range(out.shape[0]):
+                np.testing.assert_allclose(
+                    out[n, b, t][0, :, 0], lb, rtol=1e-4, atol=1e-5,
+                    err_msg=f"inflow row wrong at member {n} batch {b} step {t}",
+                )
+                # fixed-mask zeroing away from the inflow row
+                inner = fixed[b, 1:, :, :]
+                assert np.all(out[n, b, t][1:, :, :][inner] == 0.0)
+    # the time dependence is real: the same row differs between chained steps
+    assert not np.allclose(out[0, 0, 0][0, :, 0], out[0, 0, 7][0, :, 0])
+    # ...and between rows with different t0/dt
+    assert not np.allclose(out[0, 0, 0][0, :, 0], out[0, 1, 0][0, :, 0])
