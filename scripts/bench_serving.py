@@ -39,7 +39,7 @@ jax.config.update(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
 )
 
-from dyffusion_tpu.utils.workloads import SST_FAST_EVAL, sst_overrides  # noqa: E402
+from dyffusion_tpu.utils.workloads import SST_FAST_EVAL, ns_overrides, sst_overrides  # noqa: E402
 
 SST = sst_overrides([
     "datamodule.n_traj=24",
@@ -49,12 +49,25 @@ SST = sst_overrides([
     *SST_FAST_EVAL,
 ])
 
+# NS-shaped serving workload (same shapes as scripts/bench_navier_stokes.py:
+# 221x42 grid, C=3+2, h=16, UNetSimple dim 64 with the 256x256 internal
+# resample, refine on, forward_conditioning=none — the hard boundary case)
+NS = ns_overrides([
+    "datamodule.n_traj=5",
+    "datamodule.n_time=21",
+    "datamodule.batch_size=4",
+    "datamodule.eval_batch_size=4",
+    *SST_FAST_EVAL,
+])
 
-def _train_two_stage(registry: str, epochs: int) -> str:
+WORKLOADS = {"sst": SST, "ns": NS}
+
+
+def _train_two_stage(registry: str, epochs: int, workload: str = "sst") -> str:
     from dyffusion_tpu.config import get_config
     from dyffusion_tpu.interface import run_experiment
 
-    common = SST + [
+    common = WORKLOADS[workload] + [
         f"registry_dir={registry}",
         f"trainer.max_epochs={epochs}",
         f"trainer.val_every_n_epochs={max(epochs // 2, 1)}",
@@ -180,6 +193,7 @@ def main():
                     help="measure serving-process restart cost on an existing "
                          "artifact and exit (parent never touches the device)")
     ap.add_argument("--restart-runs", type=int, default=2)
+    ap.add_argument("--workload", choices=sorted(WORKLOADS), default="sst")
     args = ap.parse_args()
 
     if args.restart_only:
@@ -190,7 +204,7 @@ def main():
     from dyffusion_tpu.serving import build_predict_fn, export_run
 
     registry = args.registry or tempfile.mkdtemp(prefix="serving_bench_registry_")
-    run_id = args.run_id or _train_two_stage(registry, args.epochs)
+    run_id = args.run_id or _train_two_stage(registry, args.epochs, args.workload)
 
     # in-framework baseline: the product Trainer.evaluate path (warm run)
     trainer = reload_trainer(registry, run_id)
