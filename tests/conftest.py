@@ -20,4 +20,23 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
+# Persistent XLA compilation cache for the suite (gate-time lever, VERDICT r4
+# next #6): the training-fixture tests compile the SAME tiny graphs behind
+# fresh closures, which misses jit's in-process cache but hits this HLO-keyed
+# one — both across test modules in one run and across suite re-runs
+# (measured 2.5x on a training-heavy module warm). Honors an externally set
+# JAX_COMPILATION_CACHE_DIR (e.g. CI) over the repo-local default.
+if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    # set via env (not only jax.config) so subprocess-spawning tests — the
+    # CLI end-to-end / multirun / 2-process jax.distributed ones — share it
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache_tests",
+    )
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 assert jax.device_count() == 8, f"expected 8 virtual CPU devices, got {jax.devices()}"
