@@ -12,6 +12,13 @@ test:
 test-fast:
 	python -m pytest tests/ -x -q -m "not slow" -k "not end_to_end"
 
+# full suite sharded over CPU workers (multicore hosts; loadscope keeps each
+# module's trained fixtures on one worker). This 1-core dev host gains
+# nothing — the gate-time lever here is the persistent compilation cache
+# tests/conftest.py points at .jax_cache_tests/.
+test-par:
+	python -m pytest tests/ -q -n auto --dist loadscope
+
 quality:
 	python -m compileall -q dyffusion_tpu tools bench.py __graft_entry__.py
 	python scripts/check_citations.py
