@@ -276,18 +276,25 @@ def export_run(
     return path
 
 
-def load_exported(out_dir: str, compilation_cache: bool = True):
+def load_exported(out_dir: str, compilation_cache: bool = False):
     """Load an :func:`export_run` artifact; returns ``(predict, manifest)``
     where ``predict(batch, seed)`` executes the compiled sampler. Needs only
     jax — no framework imports, model code or checkpoint.
 
-    ``compilation_cache=True`` (default) points JAX's persistent compilation
-    cache at ``<out_dir>/xla_cache`` (unless the process already configured
-    one): the FIRST serving process pays the StableHLO recompile (~2-3 min
-    on TPU, PERF.md serving table); every process restart on the same
-    topology reloads the compiled executable in seconds. The calls are
-    routed through ``jax.jit`` so they hit that cache (one entry per
-    concrete batch shape under a polymorphic-batch artifact)."""
+    ``compilation_cache=True`` points JAX's persistent compilation cache at
+    ``<out_dir>/xla_cache`` (unless the process already configured one), so
+    a process restart can reload the compiled executable instead of
+    recompiling the StableHLO. It is OPT-IN because on the measured
+    deployment host it LOSES (PERF.md serving-restart table, TPU v5e via the
+    axon tunnel, 2026-08-20): a restart recompile measured 55-166 s across
+    sessions while reloading the 180 MB persisted executable measured
+    210-790 s — the deserialize + device upload through the tunnel dominates
+    and the ordering held in every pairing. On a
+    directly-attached TPU host the cache is typically the win; measure YOUR
+    topology with ``scripts/bench_serving.py --restart-only <artifact>``
+    before enabling. The calls are routed through ``jax.jit`` so they hit
+    the cache when enabled (one entry per concrete batch shape under a
+    polymorphic-batch artifact)."""
     if compilation_cache and not getattr(jax.config, "jax_compilation_cache_dir", None):
         jax.config.update(
             "jax_compilation_cache_dir", os.path.join(out_dir, "xla_cache")

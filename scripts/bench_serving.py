@@ -131,10 +131,14 @@ def _bench_artifact(out_dir: str, specs, n_members: int, horizon: int, calls: in
 
 def _bench_restart(artifact_dir: str, runs: int) -> dict:
     """Serving-process RESTART cost: each run is a FRESH python process that
-    loads the artifact through ``serving.load_exported`` (which colocates
-    JAX's persistent compilation cache at ``<artifact>/xla_cache``) and
-    executes one call. Run 1 is cold (StableHLO recompile + cache write);
-    run 2+ hit the cache — the number a serving fleet restarts at.
+    loads the artifact through ``serving.load_exported`` and executes one
+    call. Two modes per pass: ``nocache`` restarts recompile the StableHLO
+    every time (the ``load_exported`` default); ``cache`` restarts enable
+    the colocated persistent compilation cache at ``<artifact>/xla_cache``
+    (first cache run compiles + writes, later ones reload the persisted
+    executable). Measured 2026-08-20 on the axon-tunneled v5e the CACHE
+    LOSES (~55 s recompile vs ~210-280 s reloading the 180 MB executable) —
+    which is why it is opt-in; re-run this on your own serving topology.
 
     The parent process must NOT have initialized the backend (on TPU only
     one process can hold the chip), so the batch is synthesized numpy-only
@@ -149,6 +153,7 @@ def _bench_restart(artifact_dir: str, runs: int) -> dict:
         "import numpy as np\n"
         f"sys.path.insert(0, {repo!r})\n"
         "out_dir = sys.argv[1]\n"
+        "use_cache = sys.argv[2] == 'cache'\n"
         "with open(out_dir + '/manifest.json') as f:\n"
         "    manifest = json.load(f)\n"
         "rng = np.random.default_rng(0)\n"
@@ -158,25 +163,29 @@ def _bench_restart(artifact_dir: str, runs: int) -> dict:
         "         for k, v in manifest['inputs'].items()}\n"
         "t0 = time.perf_counter()\n"
         "from dyffusion_tpu.serving import load_exported\n"
-        "served, _ = load_exported(out_dir)\n"
+        "served, _ = load_exported(out_dir, compilation_cache=use_cache)\n"
         "out = np.asarray(served(batch, 0))\n"
         "assert np.isfinite(out).all()\n"
         "print(json.dumps({'load_plus_first_call_s':\n"
         "                  round(time.perf_counter() - t0, 2)}))\n"
     )
-    times = []
-    for i in range(runs):
+
+    def run_one(mode: str, i: int) -> float:
         proc = subprocess.run(
-            [sys.executable, "-c", snippet, artifact_dir],
+            [sys.executable, "-c", snippet, artifact_dir, mode],
             capture_output=True, text=True, timeout=1800,
         )
-        assert proc.returncode == 0, f"restart run {i}:\n{proc.stdout}\n{proc.stderr}"
+        assert proc.returncode == 0, f"restart {mode} run {i}:\n{proc.stdout}\n{proc.stderr}"
         t = json.loads(proc.stdout.strip().splitlines()[-1])["load_plus_first_call_s"]
-        times.append(t)
-        print(json.dumps({"restart_run": i, "load_plus_first_call_s": t}))
+        print(json.dumps({"restart_mode": mode, "run": i, "load_plus_first_call_s": t}))
+        return t
+
+    nocache = [run_one("nocache", i) for i in range(runs)]
+    cached = [run_one("cache", i) for i in range(runs)]
     return {
-        "restart_cold_s": times[0],
-        "restart_cached_s": min(times[1:]) if len(times) > 1 else None,
+        "restart_recompile_s": min(nocache),
+        "restart_cache_write_s": cached[0],
+        "restart_cache_hit_s": min(cached[1:]) if len(cached) > 1 else None,
     }
 
 
