@@ -88,6 +88,7 @@ def build_predict_fn(
     slot: str = "best",
     split: str = "predict",
     batch_size: Optional[int] = None,
+    reduce: Optional[str] = None,
 ) -> Tuple[Any, Dict[str, jax.ShapeDtypeStruct], Dict[str, Any]]:
     """Reload a finished run and close its eval path over the trained
     weights: returns ``(predict, input_specs, info)`` where
@@ -103,7 +104,15 @@ def build_predict_fn(
 
     ``split`` picks the ensemble size (``predict``/``val`` =
     ``module.num_predictions``, ``test`` = ``num_predictions_test``);
-    ``batch_size`` defaults to the run's ``eval_batch_size``."""
+    ``batch_size`` defaults to the run's ``eval_batch_size``.
+
+    ``reduce='mean_std'`` reduces the ensemble ON DEVICE: the artifact
+    returns ``(2, B, T, ...)`` — ``[ensemble mean, ensemble std]`` — instead
+    of all N members, cutting the device->host output bytes N/2-fold. This
+    is the fix for output-transfer-bound serving (PERF.md NS serving row:
+    the 20-member NS field is ~143 MB/call and dominates the served rate;
+    the reduced artifact ships ~14 MB). Hosts that need the full member
+    field keep the default ``reduce=None``."""
     from dyffusion_tpu.interface import reload_trainer
 
     trainer = reload_trainer(
@@ -135,10 +144,17 @@ def build_predict_fn(
         tail = (frames,) + v.shape[2:] if k == "dynamics" else v.shape[1:]
         input_specs[k] = jax.ShapeDtypeStruct((batch_size,) + tail, v.dtype)
 
+    if reduce not in (None, "mean_std"):
+        raise ValueError(f"unknown reduce '{reduce}' (choose None or 'mean_std')")
+
     def predict(batch: Dict[str, jax.Array], seed: jax.Array) -> jax.Array:
         out = eval_fn(variables, batch, jax.random.key(seed))
         keys = sorted((k for k in out if _t_index(k) > 0), key=_t_index)
-        return jnp.stack([out[k] for k in keys], axis=2)
+        members = jnp.stack([out[k] for k in keys], axis=2)  # (N, B, T, ...)
+        if reduce == "mean_std":
+            # on-device ensemble reduction: ship stats, not members
+            return jnp.stack([members.mean(axis=0), members.std(axis=0)], axis=0)
+        return members
 
     n_members = exp.num_members(split)
     info = {
@@ -150,6 +166,7 @@ def build_predict_fn(
         "dynamics_frames_read": [int(i) for i in frames_read],
         "devices": 1,
         "batch_size": int(batch_size),
+        "reduce": reduce,
     }
     return predict, input_specs, info
 
@@ -165,6 +182,7 @@ def export_run(
     batch_size: Optional[int] = None,
     polymorphic_batch: bool = True,
     devices: int = 1,
+    reduce: Optional[str] = None,
 ) -> str:
     """Export ``run_id``'s trained sampler to ``out_dir`` as a serialized
     ``jax.export`` artifact (weights embedded) + ``manifest.json``.
@@ -185,9 +203,14 @@ def export_run(
     artifact serves N-chip batches at N-chip throughput. Requires a pinned
     batch (``polymorphic_batch=False``) divisible by N; the serving host
     must have exactly N devices (recorded in the manifest, checked loudly
-    by :func:`load_exported`)."""
+    by :func:`load_exported`).
+
+    ``reduce='mean_std'`` ships the on-device ensemble reduction instead of
+    the raw members (see :func:`build_predict_fn`) — the fix for
+    output-transfer-bound serving (PERF.md NS serving row)."""
     predict, input_specs, info = build_predict_fn(
-        registry_dir, run_id, overrides, slot=slot, split=split, batch_size=batch_size
+        registry_dir, run_id, overrides, slot=slot, split=split,
+        batch_size=batch_size, reduce=reduce,
     )
     seed_spec = jax.ShapeDtypeStruct((), jnp.uint32)
     kwargs = {"platforms": list(platforms)} if platforms else {}
@@ -268,7 +291,8 @@ def export_run(
         "output": {
             "shape": _dims(out_aval.shape),
             "dtype": str(out_aval.dtype),
-            "axes": ["member", "batch", "time", "..."],
+            "axes": (["stat(mean,std)"] if reduce == "mean_std" else ["member"])
+            + ["batch", "time", "..."],
         },
     }
     with open(os.path.join(out_dir, _MANIFEST), "w") as f:
@@ -340,7 +364,7 @@ def load_exported(out_dir: str, compilation_cache: bool = False):
 def _main(argv: Optional[Sequence[str]] = None) -> str:
     """CLI: ``python -m dyffusion_tpu.serving run_id=<id> out=<dir>
     [registry_dir=runs] [slot=best] [split=predict] [platforms=tpu,cpu]
-    [batch_size=N] [polymorphic_batch=false] [devices=N]
+    [batch_size=N] [polymorphic_batch=false] [devices=N] [reduce=mean_std]
     [key.subkey=value ...]`` — export a trained run's sampler artifact."""
     import sys
 
@@ -349,14 +373,14 @@ def _main(argv: Optional[Sequence[str]] = None) -> str:
 
     args: Dict[str, Any] = dict(
         registry_dir="runs", slot="best", split="predict", platforms=None,
-        batch_size=None, polymorphic_batch=True, devices=1,
+        batch_size=None, polymorphic_batch=True, devices=1, reduce=None,
     )
     overrides = []
     for arg in sys.argv[1:] if argv is None else argv:
         k, eq, v = arg.partition("=")
         if not eq or not k:
             raise usage(f"argument {arg!r} is not of the form key=value")
-        if k in ("run_id", "out", "registry_dir", "slot", "split"):
+        if k in ("run_id", "out", "registry_dir", "slot", "split", "reduce"):
             args[k] = v
         elif k == "platforms":
             args["platforms"] = v.split(",")
@@ -375,6 +399,7 @@ def _main(argv: Optional[Sequence[str]] = None) -> str:
         overrides=overrides, slot=args["slot"], split=args["split"],
         platforms=args["platforms"], batch_size=args["batch_size"],
         polymorphic_batch=args["polymorphic_batch"], devices=args["devices"],
+        reduce=args["reduce"],
     )
     print(path)
     return path

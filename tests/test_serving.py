@@ -525,3 +525,33 @@ def test_ns_export_applies_time_dependent_boundary_conditions(ns_dyffusion_run, 
     assert not np.allclose(out[0, 0, 0][0, :, 0], out[0, 0, 7][0, :, 0])
     # ...and between rows with different t0/dt
     assert not np.allclose(out[0, 0, 0][0, :, 0], out[0, 1, 0][0, :, 0])
+
+
+def test_reduced_artifact_ships_ensemble_stats(trained_run, tmp_path):
+    """``reduce='mean_std'`` reduces the ensemble ON DEVICE: the artifact
+    returns (2, B, T, ...) = [mean, std] over members instead of the raw
+    (N, B, T, ...) field — the fix for output-transfer-bound serving
+    (PERF.md NS serving row: member download dominates the served rate)."""
+    registry, run_id = trained_run
+    full_dir, red_dir = str(tmp_path / "full"), str(tmp_path / "red")
+    export_run(registry, run_id, full_dir)
+    export_run(registry, run_id, red_dir, reduce="mean_std")
+    full, m_full = load_exported(full_dir, compilation_cache=False)
+    red, m_red = load_exported(red_dir, compilation_cache=False)
+    assert m_red["reduce"] == "mean_std"
+    assert m_red["output"]["shape"][0] == 2
+    assert m_red["output"]["axes"][0] == "stat(mean,std)"
+
+    _, specs, info = build_predict_fn(registry, run_id)
+    batch = _batch_from_specs(specs, batch_size=2)
+    members = np.asarray(full(batch, 21))  # (N, B, T, ...)
+    stats = np.asarray(red(batch, 21))  # (2, B, T, ...)
+    assert members.shape[0] == info["ensemble_members"]
+    assert stats.shape == (2,) + members.shape[1:]
+    # same seed -> same members inside both artifacts; stats must agree with
+    # host-side reduction to recompilation tolerance
+    np.testing.assert_allclose(stats[0], members.mean(axis=0), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(stats[1], members.std(axis=0), rtol=1e-2, atol=1e-4)
+    # misuse fails loudly
+    with pytest.raises(ValueError, match="reduce"):
+        export_run(registry, run_id, str(tmp_path / "bad"), reduce="median")
