@@ -39,7 +39,12 @@ jax.config.update(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
 )
 
-from dyffusion_tpu.utils.workloads import SST_FAST_EVAL, ns_overrides, sst_overrides  # noqa: E402
+from dyffusion_tpu.utils.workloads import (  # noqa: E402
+    SST_FAST_EVAL,
+    ns_overrides,
+    spring_overrides,
+    sst_overrides,
+)
 
 SST = sst_overrides([
     "datamodule.n_traj=24",
@@ -60,7 +65,21 @@ NS = ns_overrides([
     *SST_FAST_EVAL,
 ])
 
-WORKLOADS = {"sst": SST, "ns": NS}
+# Spring-mesh serving workload (same shapes as scripts/bench_spring_mesh.py:
+# 10x10 grid, C=4+1, h=134, SimpleConvNet dim 64 + BatchNorm — the
+# dispatch-bound extreme of the serving matrix)
+SPRING = spring_overrides([
+    "datamodule.n_traj=3",
+    "datamodule.n_time=140",
+    "datamodule.batch_size=6",
+    "datamodule.eval_batch_size=6",
+    "model.dropout=0.05",
+    "diffusion.forward_conditioning=data",
+    "diffusion.use_cold_sampling_for_last_step=False",
+    *SST_FAST_EVAL,
+])
+
+WORKLOADS = {"sst": SST, "ns": NS, "spring": SPRING}
 
 
 def _train_two_stage(registry: str, epochs: int, workload: str = "sst") -> str:
