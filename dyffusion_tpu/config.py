@@ -309,26 +309,46 @@ def get_config(preset: Optional[str] = None, overrides: Optional[List[str]] = No
         cfg["preset"] = preset
     # perf=measured applies the measured execution-layout recipe for this
     # preset (PERF.md) BEFORE the dotted overrides, so explicit user keys
-    # still win; perf=parity (the default) is the untouched reference layout
-    rest = []
+    # still win; perf=parity (the default) is the untouched reference layout.
+    # Every perf token is validated ('+perf=...' included) and the LAST one
+    # wins, matching override semantics.
+    rest, perf = [], None
     for ov in overrides or []:
         key, _, val = ov.partition("=")
-        if key.strip() == "perf":
+        if key.strip().lstrip("+") == "perf":
             val = val.strip()
             if val not in _PERF_MODES:
                 raise ValueError(
                     f"unknown perf mode '{val}' (choose from {list(_PERF_MODES)})"
                 )
-            if val == "measured":
-                cfg = deep_merge(cfg, _PERF_MEASURED.get(preset or "", {}))
-            cfg["perf"] = val
+            perf = val
         else:
             rest.append(ov)
+    recipe = _PERF_MEASURED.get(preset or "", {}) if perf == "measured" else {}
+    if recipe:
+        cfg = deep_merge(cfg, recipe)
+    if perf:
+        cfg["perf"] = perf
     extra_ok = set()
     for ov in rest:
         key, was_plus = apply_override(cfg, ov)
         if was_plus:
             extra_ok.add(key)
+    if (
+        recipe.get("trainer", {}).get("accumulate_grad_batches") is not None
+        and (cfg.get("module") or {}).get("use_ema")
+    ):
+        # the half-fold recipe re-batches the accumulation micro-batches;
+        # with EMA on, the per-micro-batch shadow-update cadence is part of
+        # the science (naming.py hashes it) — refuse instead of silently
+        # changing the EMA trajectory under a "layout-only" switch
+        raise ValueError(
+            f"perf=measured on preset '{preset}' re-batches gradient "
+            "accumulation, which changes the EMA update cadence when "
+            "module.use_ema=true. Use perf=parity with "
+            "trainer.fold_accumulation_into_batch=true (replays the "
+            "cadence), or turn EMA off."
+        )
     return resolve(cfg, extra_ok=extra_ok)
 
 

@@ -113,6 +113,10 @@ def build_predict_fn(
     the 20-member NS field is ~143 MB/call and dominates the served rate;
     the reduced artifact ships ~14 MB). Hosts that need the full member
     field keep the default ``reduce=None``."""
+    if reduce not in (None, "mean_std"):
+        # validate BEFORE the expensive checkpoint reload so CLI typos fail
+        # in milliseconds, not after minutes of trainer construction
+        raise ValueError(f"unknown reduce '{reduce}' (choose None or 'mean_std')")
     from dyffusion_tpu.interface import reload_trainer
 
     trainer = reload_trainer(
@@ -143,9 +147,6 @@ def build_predict_fn(
         v = np.asarray(v)
         tail = (frames,) + v.shape[2:] if k == "dynamics" else v.shape[1:]
         input_specs[k] = jax.ShapeDtypeStruct((batch_size,) + tail, v.dtype)
-
-    if reduce not in (None, "mean_std"):
-        raise ValueError(f"unknown reduce '{reduce}' (choose None or 'mean_std')")
 
     def predict(batch: Dict[str, jax.Array], seed: jax.Array) -> jax.Array:
         out = eval_fn(variables, batch, jax.random.key(seed))

@@ -169,16 +169,19 @@ class CheckpointManager:
             path = self._slot_dir(slot)
             if os.path.exists(path):
                 shutil.rmtree(path)
-        # Rotate the old run's metric stream so the fresh run writes to a
-        # clean metrics.jsonl: appending a second run to the same file breaks
-        # every consumer that assumes one monotone run per file
-        # (registry_api.get_run_metrics, the curve plots).
-        metrics_path = os.path.join(self.run_dir, "metrics.jsonl")
-        if os.path.exists(metrics_path):
-            n = 1
-            while os.path.exists(f"{metrics_path}.{n}"):
-                n += 1
-            os.replace(metrics_path, f"{metrics_path}.{n}")
+        # Rotate the old run's metric stream AND its persisted eval curves so
+        # the fresh run's dir holds exactly one run's outputs: appending a
+        # second run to metrics.jsonl breaks every consumer that assumes one
+        # monotone run per file (registry_api.get_run_metrics, the curve
+        # plots), and stale curves/ from the old weights would be attributed
+        # to the new run until its own test pass overwrites them.
+        for name in ("metrics.jsonl", "curves"):
+            path = os.path.join(self.run_dir, name)
+            if os.path.exists(path):
+                n = 1
+                while os.path.exists(f"{path}.{n}"):
+                    n += 1
+                os.replace(path, f"{path}.{n}")
         meta = self._read_meta()
         for key in ("best_score", "best_monitor", "best_step", "last_step", "epochs_done"):
             meta.pop(key, None)

@@ -12,10 +12,12 @@ measures on the current backend:
   ``Trainer.evaluate`` product path on the same checkpoint.
 
     python scripts/bench_serving.py [--epochs 10] [--registry DIR --run_id ID]
-        [--keep-artifact DIR]
+        [--keep-artifact DIR] [--workload sst|ns|spring]
     python scripts/bench_serving.py --restart-only DIR   # process-restart cost
-        # (fresh process per run; run 1 cold compile, run 2+ hit the
-        #  persistent XLA cache load_exported colocates at DIR/xla_cache)
+        # (fresh process per run, two modes: 'nocache' recompiles every
+        #  restart — the load_exported default — and 'cache' enables the
+        #  opt-in colocated cache at DIR/xla_cache; on the tunneled host
+        #  the cache reload measured SLOWER than recompiling, PERF.md)
 
 Timing ends with a real device->host read (``np.asarray``) —
 ``block_until_ready`` is unreliable through the TPU tunnel (PERF.md).

@@ -137,3 +137,27 @@ def test_perf_measured_applies_per_workload_recipe():
     assert get_config("oisst_pacific_interpolation", ["perf=parity"])["trainer"] == parity["trainer"]
     with pytest.raises(ValueError, match="perf mode"):
         get_config("oisst_pacific_interpolation", ["perf=turbo"])
+
+
+def test_perf_measured_guards(  # round-5 review fixes
+):
+    """(a) perf=measured + use_ema on a re-batching recipe fails loudly
+    instead of silently changing the EMA cadence; (b) '+perf=...' is
+    validated like 'perf=...'; (c) repeated perf tokens: last one wins and
+    no stale recipe is applied."""
+    import pytest
+
+    with pytest.raises(ValueError, match="EMA update cadence"):
+        get_config("oisst_pacific_dyffusion", ["perf=measured", "module.use_ema=true"])
+    # the fold recipe (stage-1) does NOT re-batch -> EMA stays allowed
+    cfg = get_config(
+        "oisst_pacific_interpolation", ["perf=measured", "module.use_ema=true"]
+    )
+    assert cfg["trainer"]["fold_accumulation_into_batch"] is True
+
+    with pytest.raises(ValueError, match="perf mode"):
+        get_config("oisst_pacific_interpolation", ["+perf=turbo"])
+
+    cfg = get_config("oisst_pacific_dyffusion", ["perf=measured", "perf=parity"])
+    assert cfg["perf"] == "parity"
+    assert cfg["datamodule"]["batch_size"] == 64  # measured recipe NOT applied

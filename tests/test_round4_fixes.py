@@ -63,3 +63,10 @@ def test_rerun_on_run_dir_without_checkpoint_blobs(tmp_path):
             if "step" in rec:
                 steps.append(rec["step"])
     assert steps == sorted(steps), f"metrics.jsonl not monotone: {steps}"
+
+    # curves/ from the OLD run's weights must be rotated too (round-5 review:
+    # stale test curves would be attributed to the new run)
+    os.makedirs(os.path.join(run_dir, "curves"), exist_ok=True)
+    trainer2.ckpt.reset_run_state()
+    assert not os.path.exists(os.path.join(run_dir, "curves"))
+    assert os.path.isdir(os.path.join(run_dir, "curves.1"))

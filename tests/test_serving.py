@@ -394,10 +394,16 @@ def test_load_exported_populates_compilation_cache(trained_run, tmp_path):
     # drop jax's IN-MEMORY compilation-cache layer: it is keyed by HLO hash
     # (not by cache dir), so an identical graph compiled earlier in this
     # process — e.g. under the suite-wide .jax_cache_tests — would satisfy
-    # this compile from memory and never write to the artifact's own dir
-    from jax._src import compilation_cache as _cc
+    # this compile from memory and never write to the artifact's own dir.
+    # Private API, so guarded: if a jax upgrade moves it, skip rather than
+    # fail on an import error unrelated to the serving contract.
+    try:
+        from jax._src import compilation_cache as _cc
 
-    _cc.reset_cache()
+        _reset = _cc.reset_cache
+    except (ImportError, AttributeError):
+        pytest.skip("jax compilation-cache reset API moved; mechanism untestable here")
+    _reset()
     try:
         served, manifest = load_exported(out_dir, compilation_cache=True)
         cache_dir = os.path.join(out_dir, "xla_cache")
@@ -413,7 +419,7 @@ def test_load_exported_populates_compilation_cache(trained_run, tmp_path):
     finally:
         jax.config.update("jax_compilation_cache_dir", prev_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
-        _cc.reset_cache()  # detach from the artifact dir removed with tmp_path
+        _reset()  # detach from the artifact dir removed with tmp_path
 
 
 def test_empty_split_raises_clear_error(trained_run, monkeypatch):
